@@ -1,0 +1,541 @@
+"""FlowLM: the text -> acoustic-latent autoregressive flow-matching model.
+
+TPU-native redesign of /root/reference/ptts_flowlm.c. Key departures from the
+reference (which is single-stream, host-looped, one GEMV per op):
+
+  * Everything is batch-first: hidden states [B, d], KV cache [L, B, T, H, D],
+    per-stream positions/EOS state as int32/bool vectors. One chip serves
+    hundreds of streams; multi-chip shards the B axis (parallel/mesh.py).
+  * The whole generation loop (prefill + per-frame decode + flow-matching
+    Euler sampler + EOS bookkeeping) is a single jitted function built from
+    lax.scan -- zero host<->device round trips per frame, unlike the
+    reference's per-op H2D/D2H (ptts_cuda.c:646-774).
+  * Prefill runs all prompt positions at once with causal attention instead of
+    the reference's one-position-at-a-time loop (ptts_flowlm.c:1159-1185).
+  * Timestep embeddings depend only on the static LSD step grid, so they are
+    hoisted out of the per-frame loop entirely (the reference recomputes them
+    per frame per step, ptts_flowlm.c:711-712).
+
+Numerics (norm variants, erf-GELU, RoPE convention, adaLN combine) match the
+reference exactly; see ops/*.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FlowLMConfig
+from ..ops.activations import gelu_erf, silu
+from ..ops.attention import causal_attention, decode_attention
+from ..ops.norms import kyutai_rmsnorm, layernorm
+from ..ops.rope import rope_rotate
+
+Weights = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Weight loading
+# ---------------------------------------------------------------------------
+
+
+def _find(st, name: str):
+    """exact -> 'flow_lm.' prefix -> suffix fallback (ptts_flowlm.c:107-122)."""
+    t = st.find(name)
+    if t is not None:
+        return t
+    t = st.find("flow_lm." + name)
+    if t is not None:
+        return t
+    for cand in st.tensors:
+        if cand.name.endswith(name):
+            return cand
+    return None
+
+
+def _get(st, name: str, optional: bool = False) -> Optional[np.ndarray]:
+    t = _find(st, name)
+    if t is None:
+        if optional:
+            return None
+        raise KeyError(f"Missing tensor: {name}")
+    return st.get_f32(t)
+
+
+def load_weights(st, cfg: FlowLMConfig = FlowLMConfig()) -> Weights:
+    """Load the FlowLM weight pytree from a SafetensorsFile.
+
+    Tensor names and shapes follow ptts_flowlm_load
+    (/root/reference/ptts_flowlm.c:866-957).
+    """
+    L = cfg.num_layers
+
+    def stack(fmt: str) -> np.ndarray:
+        return np.stack([_get(st, fmt.format(i)) for i in range(L)])
+
+    w: Weights = {
+        "embed": _get(st, "conditioner.embed.weight"),
+        "speaker_proj": _get(st, "speaker_proj_weight", optional=True),
+        "emb_std": _get(st, "emb_std"),
+        "emb_mean": _get(st, "emb_mean"),
+        "bos_emb": _get(st, "bos_emb"),
+        "input_linear": _get(st, "input_linear.weight"),
+        "out_norm_w": _get(st, "out_norm.weight"),
+        "out_norm_b": _get(st, "out_norm.bias"),
+        "out_eos_w": _get(st, "out_eos.weight").reshape(-1),
+        "out_eos_b": _get(st, "out_eos.bias").reshape(()),
+        "in_proj": stack("transformer.layers.{}.self_attn.in_proj.weight"),
+        "out_proj": stack("transformer.layers.{}.self_attn.out_proj.weight"),
+        "norm1_w": stack("transformer.layers.{}.norm1.weight"),
+        "norm1_b": stack("transformer.layers.{}.norm1.bias"),
+        "norm2_w": stack("transformer.layers.{}.norm2.weight"),
+        "norm2_b": stack("transformer.layers.{}.norm2.bias"),
+        "linear1": stack("transformer.layers.{}.linear1.weight"),
+        "linear2": stack("transformer.layers.{}.linear2.weight"),
+    }
+
+    def tstack(fmt: str, n: int, optional: bool = False):
+        vals = [_get(st, fmt.format(i), optional=optional) for i in range(n)]
+        if any(v is None for v in vals):
+            return None
+        return np.stack(vals)
+
+    D = cfg.flow_depth
+    w["flow"] = {
+        "cond_w": _get(st, "flow_net.cond_embed.weight"),
+        "cond_b": _get(st, "flow_net.cond_embed.bias"),
+        "input_w": _get(st, "flow_net.input_proj.weight"),
+        "input_b": _get(st, "flow_net.input_proj.bias"),
+        "time": {
+            "lin0_w": tstack("flow_net.time_embed.{}.mlp.0.weight", 2),
+            "lin0_b": tstack("flow_net.time_embed.{}.mlp.0.bias", 2),
+            "lin2_w": tstack("flow_net.time_embed.{}.mlp.2.weight", 2),
+            "lin2_b": tstack("flow_net.time_embed.{}.mlp.2.bias", 2),
+            "rms_alpha": tstack("flow_net.time_embed.{}.mlp.3.alpha", 2),
+            "freqs": tstack("flow_net.time_embed.{}.freqs", 2, optional=True),
+        },
+        "res": {
+            "in_ln_w": tstack("flow_net.res_blocks.{}.in_ln.weight", D),
+            "in_ln_b": tstack("flow_net.res_blocks.{}.in_ln.bias", D),
+            "mlp0_w": tstack("flow_net.res_blocks.{}.mlp.0.weight", D),
+            "mlp0_b": tstack("flow_net.res_blocks.{}.mlp.0.bias", D),
+            "mlp2_w": tstack("flow_net.res_blocks.{}.mlp.2.weight", D),
+            "mlp2_b": tstack("flow_net.res_blocks.{}.mlp.2.bias", D),
+            "ada_w": tstack("flow_net.res_blocks.{}.adaLN_modulation.1.weight", D),
+            "ada_b": tstack("flow_net.res_blocks.{}.adaLN_modulation.1.bias", D),
+        },
+        "final_linear_w": _get(st, "flow_net.final_layer.linear.weight"),
+        "final_linear_b": _get(st, "flow_net.final_layer.linear.bias"),
+        "final_ada_w": _get(st, "flow_net.final_layer.adaLN_modulation.1.weight"),
+        "final_ada_b": _get(st, "flow_net.final_layer.adaLN_modulation.1.bias"),
+    }
+    return w
+
+
+def random_weights(cfg: FlowLMConfig, seed: int = 0, scale: float = 0.02) -> Weights:
+    """Random checkpoint with the production pytree layout (tests, bench)."""
+    rng = np.random.default_rng(seed)
+
+    def r(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    L, d, h, fd, dep = cfg.num_layers, cfg.d_model, cfg.hidden, cfg.flow_dim, cfg.flow_depth
+    lat, tf = cfg.latent_dim, cfg.time_freqs
+    i = np.arange(tf, dtype=np.float32)
+    freqs = np.exp(-np.log(np.float32(cfg.max_period)) * (i / np.float32(tf))).astype(np.float32)
+    return {
+        "embed": r(cfg.vocab + 1, cfg.text_dim),
+        "speaker_proj": r(cfg.text_dim, 512),
+        "emb_std": np.abs(r(lat)) + 1.0,
+        "emb_mean": r(lat),
+        "bos_emb": r(lat),
+        "input_linear": r(d, lat),
+        "out_norm_w": 1.0 + r(d),
+        "out_norm_b": r(d),
+        "out_eos_w": r(d),
+        "out_eos_b": np.float32(rng.standard_normal() * scale),
+        "in_proj": r(L, 3 * d, d),
+        "out_proj": r(L, d, d),
+        "norm1_w": 1.0 + r(L, d),
+        "norm1_b": r(L, d),
+        "norm2_w": 1.0 + r(L, d),
+        "norm2_b": r(L, d),
+        "linear1": r(L, h, d),
+        "linear2": r(L, d, h),
+        "flow": {
+            "cond_w": r(fd, d),
+            "cond_b": r(fd),
+            "input_w": r(fd, lat),
+            "input_b": r(fd),
+            "time": {
+                "lin0_w": r(2, fd, 2 * tf),
+                "lin0_b": r(2, fd),
+                "lin2_w": r(2, fd, fd),
+                "lin2_b": r(2, fd),
+                "rms_alpha": 1.0 + r(2, fd),
+                "freqs": np.stack([freqs, freqs * 0.5]),
+            },
+            "res": {
+                "in_ln_w": 1.0 + r(dep, fd),
+                "in_ln_b": r(dep, fd),
+                "mlp0_w": r(dep, fd, fd),
+                "mlp0_b": r(dep, fd),
+                "mlp2_w": r(dep, fd, fd),
+                "mlp2_b": r(dep, fd),
+                "ada_w": r(dep, 3 * fd, fd),
+                "ada_b": r(dep, 3 * fd),
+            },
+            "final_linear_w": r(lat, fd),
+            "final_linear_b": r(lat),
+            "final_ada_w": r(2 * fd, fd),
+            "final_ada_b": r(2 * fd),
+        },
+    }
+
+
+def to_device(w: Weights, dtype=jnp.float32) -> Weights:
+    """Move the weight pytree to device arrays in the compute dtype."""
+    def conv(x):
+        if x is None:
+            return None
+        return jnp.asarray(x, dtype=dtype)
+
+    return jax.tree.map(conv, w, is_leaf=lambda x: x is None)
+
+
+# ---------------------------------------------------------------------------
+# Model math
+# ---------------------------------------------------------------------------
+
+
+def _linear(w: jnp.ndarray, b, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
+
+
+class KVCache(NamedTuple):
+    """Batched per-layer KV cache: the device-resident analogue of the
+    reference's ptts_flowlm_kv_cache / CUDA ensure_kv_cache
+    (ptts_flowlm.c:390-438, ptts_cuda.c:582-605)."""
+
+    k: jnp.ndarray        # [L, B, Tmax, H, D]
+    v: jnp.ndarray        # [L, B, Tmax, H, D]
+    length: jnp.ndarray   # [B] int32 -- valid entries per stream
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def make_cache(cfg: FlowLMConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype=dtype),
+        v=jnp.zeros(shape, dtype=dtype),
+        length=jnp.zeros(batch, dtype=jnp.int32),
+    )
+
+
+def _split_qkv(qkv: jnp.ndarray, H: int, D: int):
+    """[..., 3d] -> (q, k, v) each [..., H, D]."""
+    d = H * D
+    q = qkv[..., :d]
+    k = qkv[..., d : 2 * d]
+    v = qkv[..., 2 * d :]
+    newshape = qkv.shape[:-1] + (H, D)
+    return q.reshape(newshape), k.reshape(newshape), v.reshape(newshape)
+
+
+def prefill(
+    w: Weights,
+    cache: KVCache,
+    x: jnp.ndarray,        # [B, T, d_model] prompt embeddings (padded)
+    lengths: jnp.ndarray,  # [B] int32 valid positions
+    cfg: FlowLMConfig,
+) -> Tuple[KVCache, jnp.ndarray]:
+    """Process the whole prompt in one causal pass, fill the cache, and return
+    the transformer output at each stream's last valid position [B, d_model].
+
+    Replaces the reference's sequential one-position prefill
+    (ptts_flowlm.c:1159-1185) with a single batched pass -- identical math,
+    MXU-shaped work.
+    """
+    B, T, d = x.shape
+    H, D = cfg.num_heads, cfg.head_dim
+    positions = jnp.arange(T)
+
+    k_layers = []
+    v_layers = []
+    for l in range(cfg.num_layers):
+        xn = layernorm(x, w["norm1_w"][l], w["norm1_b"][l], cfg.ln_eps)
+        qkv = _linear(w["in_proj"][l], None, xn)
+        q, k, v = _split_qkv(qkv, H, D)
+        q, k = rope_rotate(q, k, positions[None, :], cfg.max_period)
+        attn = causal_attention(q, k, v, lengths=lengths)
+        x = x + _linear(w["out_proj"][l], None, attn.reshape(B, T, d))
+        xn = layernorm(x, w["norm2_w"][l], w["norm2_b"][l], cfg.ln_eps)
+        ff = gelu_erf(_linear(w["linear1"][l], None, xn))
+        x = x + _linear(w["linear2"][l], None, ff)
+        k_layers.append(k)
+        v_layers.append(v)
+
+    k_new = jnp.stack(k_layers)  # [L, B, T, H, D]
+    v_new = jnp.stack(v_layers)
+    Tmax = cache.max_len
+    k_cache = jax.lax.dynamic_update_slice(
+        cache.k, k_new.astype(cache.k.dtype), (0, 0, 0, 0, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        cache.v, v_new.astype(cache.v.dtype), (0, 0, 0, 0, 0)
+    )
+    # Zero the padded tail so masked attention stays exact even if lengths<T.
+    t_idx = jnp.arange(Tmax)
+    valid = (t_idx[None, :] < lengths[:, None])[None, :, :, None, None]
+    k_cache = jnp.where(valid, k_cache, 0)
+    v_cache = jnp.where(valid, v_cache, 0)
+
+    new_cache = KVCache(k=k_cache, v=v_cache, length=lengths.astype(jnp.int32))
+    last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0, :]
+    return new_cache, last
+
+
+def decode_step(
+    w: Weights,
+    cache: KVCache,
+    x: jnp.ndarray,  # [B, d_model]
+    cfg: FlowLMConfig,
+) -> Tuple[KVCache, jnp.ndarray]:
+    """One KV-cached transformer step for B streams at their own positions.
+
+    Mirrors transformer_forward_step_cached (ptts_flowlm.c:440-566) but
+    batched: the per-layer GEMVs become [B, d] x [d, 3d] MXU matmuls.
+    """
+    B, d = x.shape
+    H, D = cfg.num_heads, cfg.head_dim
+    pos = cache.length  # [B]
+    k_cache, v_cache = cache.k, cache.v
+
+    batch_idx = jnp.arange(B)
+    for l in range(cfg.num_layers):
+        xn = layernorm(x, w["norm1_w"][l], w["norm1_b"][l], cfg.ln_eps)
+        qkv = _linear(w["in_proj"][l], None, xn)
+        q, k, v = _split_qkv(qkv, H, D)  # [B, H, D]
+        q, k = rope_rotate(q[:, None], k[:, None], pos[:, None], cfg.max_period)
+        q, k = q[:, 0], k[:, 0]
+
+        k_cache = k_cache.at[l, batch_idx, pos].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[l, batch_idx, pos].set(v.astype(v_cache.dtype))
+
+        attn = decode_attention(q, k_cache[l], v_cache[l], pos + 1)
+        x = x + _linear(w["out_proj"][l], None, attn.reshape(B, d))
+        xn = layernorm(x, w["norm2_w"][l], w["norm2_b"][l], cfg.ln_eps)
+        ff = gelu_erf(_linear(w["linear1"][l], None, xn))
+        x = x + _linear(w["linear2"][l], None, ff)
+
+    new_cache = KVCache(k=k_cache, v=v_cache, length=pos + 1)
+    return new_cache, x
+
+
+# ---------------------------------------------------------------------------
+# Flow net + LSD sampler
+# ---------------------------------------------------------------------------
+
+
+def timestep_embed(w: Weights, idx: int, t: jnp.ndarray, cfg: FlowLMConfig) -> jnp.ndarray:
+    """Sinusoidal timestep embedding + MLP + kyutai RMSNorm
+    (ptts_flowlm.c:572-586). t may be a scalar or [S] vector."""
+    tw = w["flow"]["time"]
+    if tw["freqs"] is not None:
+        freqs = tw["freqs"][idx]
+    else:
+        i = jnp.arange(cfg.time_freqs, dtype=jnp.float32)
+        freqs = jnp.exp(-jnp.log(cfg.max_period) * (i / cfg.time_freqs))
+    t = jnp.asarray(t, dtype=jnp.float32)
+    angle = t[..., None] * freqs
+    emb = jnp.concatenate([jnp.cos(angle), jnp.sin(angle)], axis=-1)
+    h = silu(_linear(tw["lin0_w"][idx], tw["lin0_b"][idx], emb))
+    out = _linear(tw["lin2_w"][idx], tw["lin2_b"][idx], h)
+    return kyutai_rmsnorm(out, tw["rms_alpha"][idx], cfg.rms_eps)
+
+
+def lsd_time_embeds(w: Weights, num_steps: int, cfg: FlowLMConfig) -> jnp.ndarray:
+    """Hoisted (ts + tt)/2 per Euler step: [num_steps, flow_dim].
+
+    The step grid s=i/n, t=(i+1)/n is static, so these never change across
+    frames or streams -- the reference recomputes them every call
+    (ptts_flowlm.c:711-712)."""
+    i = jnp.arange(num_steps, dtype=jnp.float32)
+    s = i / num_steps
+    t = (i + 1) / num_steps
+    ts = timestep_embed(w, 0, s, cfg)  # [S, fd]
+    tt = timestep_embed(w, 1, t, cfg)
+    return (ts + tt) * 0.5
+
+
+def flow_net(
+    w: Weights,
+    cond_emb: jnp.ndarray,   # [B, flow_dim] precomputed cond_embed(cond)
+    time_emb: jnp.ndarray,   # [flow_dim] hoisted (ts+tt)/2 for this step
+    x_in: jnp.ndarray,       # [B, latent_dim]
+    cfg: FlowLMConfig,
+) -> jnp.ndarray:
+    """adaLN-modulated residual MLP stack (ptts_flowlm.c:655-762)."""
+    fw = w["flow"]
+    fd = cfg.flow_dim
+    x = _linear(fw["input_w"], fw["input_b"], x_in)
+    tmp2 = time_emb + cond_emb  # [B, fd]
+    mod = silu(tmp2)
+
+    res = fw["res"]
+    for b in range(cfg.flow_depth):
+        h = layernorm(x, res["in_ln_w"][b], res["in_ln_b"][b], cfg.flow_ln_eps)
+        ada = _linear(res["ada_w"][b], res["ada_b"][b], mod)
+        shift, scale, gate = ada[..., :fd], ada[..., fd : 2 * fd], ada[..., 2 * fd :]
+        h = h * (1.0 + scale) + shift
+        h = _linear(res["mlp2_w"][b], res["mlp2_b"][b],
+                    silu(_linear(res["mlp0_w"][b], res["mlp0_b"][b], h)))
+        x = x + gate * h
+
+    h = layernorm(x, None, None, cfg.flow_ln_eps)
+    ada2 = _linear(fw["final_ada_w"], fw["final_ada_b"], mod)
+    h = h * (1.0 + ada2[..., fd:]) + ada2[..., :fd]
+    return _linear(fw["final_linear_w"], fw["final_linear_b"], h)
+
+
+def lsd_decode(
+    w: Weights,
+    cond: jnp.ndarray,        # [B, d_model] out_norm'd hidden
+    time_embs: jnp.ndarray,   # [num_steps, flow_dim] from lsd_time_embeds
+    x: jnp.ndarray,           # [B, latent_dim] initial noise
+    cfg: FlowLMConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Euler sampler (ptts_flowlm.c:764-779). Returns (latent, first_flow)."""
+    fw = w["flow"]
+    cond_emb = _linear(fw["cond_w"], fw["cond_b"], cond)
+    num_steps = time_embs.shape[0]
+
+    def step(carry, inputs):
+        xc, first = carry
+        step_i, te = inputs
+        flow = flow_net(w, cond_emb, te, xc, cfg)
+        first = jnp.where(step_i == 0, flow, first)
+        return (xc + flow / num_steps, first), None
+
+    (x_final, first_flow), _ = jax.lax.scan(
+        step, (x, jnp.zeros_like(x)), (jnp.arange(num_steps), time_embs)
+    )
+    return x_final, first_flow
+
+
+# ---------------------------------------------------------------------------
+# Generation (fully on-device)
+# ---------------------------------------------------------------------------
+
+
+class GenResult(NamedTuple):
+    latents: jnp.ndarray       # [B, F, latent_dim]
+    frames_used: jnp.ndarray   # [B] int32
+    eos_logits: jnp.ndarray    # [B, F]
+    first_cond: jnp.ndarray    # [B, d_model] parity tap (--cond-out)
+    first_flow: jnp.ndarray    # [B, latent_dim] parity tap (--flow-out)
+
+
+def eos_logit(w: Weights, normed: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum("...d,d->...", normed, w["out_eos_w"]) + w["out_eos_b"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_frames", "num_steps", "eos_enabled"),
+    donate_argnames=("cache",),
+)
+def generate_latents(
+    w: Weights,
+    cache: KVCache,            # prefilled (see prefill)
+    x0: jnp.ndarray,           # [B, d_model] transformer output at BOS
+    noise: jnp.ndarray,        # [B, max_frames, latent_dim]
+    cfg: FlowLMConfig,
+    max_frames: int,
+    num_steps: int,
+    eos_enabled: bool = True,
+    eos_threshold: float = -4.0,
+    eos_min_frames: int = 1,
+    eos_after: jnp.ndarray | int = 0,
+) -> GenResult:
+    """Per-frame loop as one lax.scan: out_norm -> EOS -> LSD -> input_linear
+    -> KV decode step. Mirrors ptts_flowlm_generate_latents
+    (ptts_flowlm.c:1138-1251) with per-stream EOS state carried on device.
+    """
+    B = x0.shape[0]
+    time_embs = lsd_time_embeds(w, num_steps, cfg)
+    eos_after = jnp.broadcast_to(jnp.asarray(eos_after, jnp.int32), (B,))
+
+    def frame(carry, inputs):
+        cache, x, eos_step, done, used, first_cond, first_flow0 = carry
+        i, frame_noise = inputs  # i: scalar, frame_noise: [B, latent]
+
+        normed = layernorm(x, w["out_norm_w"], w["out_norm_b"], cfg.ln_eps)
+        eos = eos_logit(w, normed)  # [B]
+
+        hit = eos_enabled & ((i + 1) >= eos_min_frames) & (eos >= eos_threshold)
+        eos_step = jnp.where((eos_step < 0) & hit, i, eos_step)
+
+        latent, first_flow = lsd_decode(w, normed, time_embs, frame_noise, cfg)
+
+        # Parity taps: frame-0 cond vector and flow vector (main.c --cond-out /
+        # --flow-out, /root/reference/main.c:354-392).
+        first_cond = jnp.where(i == 0, normed, first_cond)
+        first_flow0 = jnp.where(i == 0, first_flow, first_flow0)
+
+        # Frame i is emitted, then the stream stops if i >= eos_step+eos_after.
+        newly_done = (eos_step >= 0) & (i >= eos_step + eos_after)
+        used = jnp.where(done, used, i + 1)
+        done = done | newly_done
+
+        nxt = _linear(w["input_linear"], None, latent)
+        cache, x = decode_step(w, cache, nxt, cfg)
+
+        carry = (cache, x, eos_step, done, used, first_cond, first_flow0)
+        return carry, (latent, eos)
+
+    init = (
+        cache,
+        x0,
+        jnp.full((B,), -1, jnp.int32),
+        jnp.zeros((B,), jnp.bool_),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros_like(x0),
+        jnp.zeros((B, cfg.latent_dim), x0.dtype),
+    )
+    idx = jnp.arange(max_frames)
+    carry, (lat, eos) = jax.lax.scan(frame, init, (idx, jnp.swapaxes(noise, 0, 1)))
+    (cache, x, eos_step, done, used, first_cond, first_flow) = carry
+
+    latents = jnp.swapaxes(lat, 0, 1)       # [B, F, latent]
+    eos_logits = jnp.swapaxes(eos, 0, 1)    # [B, F]
+    frames_used = jnp.where(done, used, max_frames)
+    return GenResult(
+        latents=latents,
+        frames_used=frames_used,
+        eos_logits=eos_logits,
+        first_cond=first_cond,
+        first_flow=first_flow,
+    )
+
+
+def scale_latents(w: Weights, latents: jnp.ndarray) -> jnp.ndarray:
+    """x * emb_std + emb_mean (ptts_flowlm.c:1253-1263)."""
+    return latents * w["emb_std"] + w["emb_mean"]
+
+
+def embed_tokens(w: Weights, token_ids: jnp.ndarray, cfg: FlowLMConfig) -> jnp.ndarray:
+    """Token ids -> embeddings; out-of-range ids clamp to row 0
+    (ptts_flowlm.c:1168-1171)."""
+    ids = jnp.where((token_ids < 0) | (token_ids >= cfg.vocab + 1), 0, token_ids)
+    return jnp.take(w["embed"], ids, axis=0)

@@ -1,0 +1,103 @@
+"""Causal 1-D convolutions with the reference's exact padding semantics.
+
+Reference semantics (/root/reference/ptts_kernels.c:114-207):
+  * conv1d:  out_len = T // stride, zero left-pad of (k - stride)
+  * convtranspose1d: full length (T-1)*stride + k, right-trimmed by
+    (k - stride) => out_len = T * stride
+
+Layout is channels-last [B, T, C] (C on the TPU lane dimension). Weights are
+converted from the torch/safetensors layout to XLA 'WIO' kernels once on the
+host (prepare_* helpers); the forward functions are pure jnp and fuse into the
+surrounding graph under jit. Transposed convolution is expressed as an
+input-dilated regular convolution (lhs_dilation=stride, flipped kernel) so
+grouped/depthwise cases ride XLA's native conv path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DIMNUMS = ("NWC", "WIO", "NWC")
+
+
+def prepare_conv_kernel(w_torch: np.ndarray) -> np.ndarray:
+    """torch Conv1d weight [out, in/g, k] -> XLA WIO kernel [k, in/g, out]."""
+    return np.ascontiguousarray(np.transpose(w_torch, (2, 1, 0)))
+
+
+def prepare_convtr_kernel(w_torch: np.ndarray, groups: int) -> np.ndarray:
+    """torch ConvTranspose1d weight [in, out/g, k] -> flipped WIO [k, in/g, out].
+
+    The transposed conv y[t*s + kk] += w[ic, ocg, kk] * x[ic, t]
+    (ptts_kernels.c:190-204) equals a regular conv over the stride-dilated
+    input with the kernel reversed along k.
+    """
+    in_ch, out_per_group, k = w_torch.shape
+    in_per_group = in_ch // groups
+    w = w_torch.reshape(groups, in_per_group, out_per_group, k)
+    w = w[..., ::-1]                      # flip taps
+    w = np.transpose(w, (3, 1, 0, 2))     # [k, in/g, g, out/g]
+    w = w.reshape(k, in_per_group, groups * out_per_group)
+    return np.ascontiguousarray(w)
+
+
+def conv1d_causal(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    *,
+    stride: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """x: [B, T, Cin]; kernel: WIO [k, in/g, out]. Returns [B, T//stride, Cout]."""
+    k = kernel.shape[0]
+    left_pad = k - stride
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(left_pad, 0)],
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
+def convtr1d_causal(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    *,
+    stride: int,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """x: [B, T, Cin]; kernel: flipped WIO [k, in/g, out]. Returns [B, T*stride, Cout]."""
+    k = kernel.shape[0]
+    y_full = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(1,),
+        padding=[(k - 1, k - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    # full length (T-1)*s + k; reference trims the trailing (k - stride).
+    T = x.shape[1]
+    y = y_full[:, : T * stride, :]
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
+def elu(x: jnp.ndarray) -> jnp.ndarray:
+    """ELU(alpha=1) matching ptts_kernels.c:209-219 (x>=0 ? x : exp(x)-1)."""
+    return jnp.where(x >= 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)

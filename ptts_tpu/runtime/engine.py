@@ -1,0 +1,235 @@
+"""TTSEngine: device-resident weights + jitted end-to-end pipeline.
+
+This is the serving counterpart of ptts_generate (ptts.c:1011-1161), with the
+reference's per-call weight reload and host-looped decode replaced by:
+
+  * weights loaded from the safetensors mmap to device ONCE at construction
+  * prefill + AR frame loop + Euler sampler fully jitted (models/flowlm.py)
+  * Mimi vocoder fully jitted (models/mimi.py)
+  * shape bucketing (prefix length, frame count) so repeated calls reuse
+    compiled executables instead of recompiling per prompt length
+  * batch_generate: B independent streams in one device program -- the unit
+    of serving throughput (SURVEY.md §7, BASELINE.json north star)
+
+Noise: params-driven parity path uses the host xorshift64*/Box-Muller RNG
+(rng.py) for bit-compatible output with the reference at a given seed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FlowLMConfig, MimiConfig
+from ..io.wav import Audio
+from ..models import flowlm, mimi
+from ..rng import frame_noise
+from ..text import estimate_frames, prepare_text
+from .. import api
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class GenerateOutput:
+    """Single-stream result with the debug taps main.c exposes
+    (--latent-out/--cond-out/--flow-out, main.c:354-412)."""
+
+    audio: Optional[Audio]
+    latents: np.ndarray          # [used, 32] raw (pre-scale) latents
+    frames_used: int
+    first_eos_logit: float
+    first_cond: np.ndarray       # [1024]
+    first_flow: np.ndarray       # [32]
+
+
+class TTSEngine:
+    def __init__(self, ctx: "api.Context", dtype=jnp.float32,
+                 prefix_bucket: int = 64, frame_bucket: int = 64):
+        self.ctx = ctx
+        self.flowlm_cfg = ctx.flowlm_cfg
+        self.mimi_cfg = ctx.mimi_cfg
+        self.dtype = dtype
+        self.prefix_bucket = prefix_bucket
+        self.frame_bucket = frame_bucket
+
+        fw_host = flowlm.load_weights(ctx.weights, self.flowlm_cfg)
+        mw_host = mimi.load_weights(ctx.weights, self.mimi_cfg)
+        # Host copies for prefix embedding assembly (off the hot path).
+        self._embed = fw_host["embed"]
+        self._input_linear = fw_host["input_linear"]
+        self._bos_emb = fw_host["bos_emb"]
+
+        self.fw = flowlm.to_device(fw_host, dtype)
+        self.mw = mimi.to_device(mw_host, dtype)
+
+        self._voice_cache: dict = {}
+
+    # -- prompt assembly -----------------------------------------------------
+
+    def _voice_cond(self, voice: Optional[str]) -> Tuple[Optional[np.ndarray], int]:
+        key = voice or "alba"
+        if key not in self._voice_cache:
+            self._voice_cache[key] = api.load_voice_conditioning(
+                self.ctx.model_dir, voice, self.flowlm_cfg.d_model
+            )
+        return self._voice_cache[key]
+
+    def _build_prefix(self, token_ids: Sequence[int],
+                      cond: Optional[np.ndarray]) -> np.ndarray:
+        """[T0, d_model]: voice cond frames + token embeddings + projected BOS
+        (ptts_flowlm.c:1159-1185)."""
+        cfg = self.flowlm_cfg
+        parts = []
+        if cond is not None and len(cond):
+            parts.append(cond.astype(np.float32))
+        ids = np.asarray(token_ids, dtype=np.int64)
+        ids = np.where((ids < 0) | (ids >= cfg.vocab + 1), 0, ids)
+        parts.append(self._embed[ids])
+        bos = self._bos_emb @ self._input_linear.T
+        parts.append(bos[None, :].astype(np.float32))
+        return np.concatenate(parts, axis=0)
+
+    # -- generation ------------------------------------------------------------
+
+    def generate_latents_batch(
+        self,
+        prefixes: List[np.ndarray],       # list of [T0_b, d_model]
+        max_frames: int,
+        params: "api.Params",
+        noise: Optional[np.ndarray] = None,  # [B, max_frames, latent] override
+        eos_after: Optional[np.ndarray] = None,  # [B] per-stream override
+    ) -> flowlm.GenResult:
+        """Run the jitted prefill + AR loop for B ragged streams."""
+        cfg = self.flowlm_cfg
+        B = len(prefixes)
+        lengths = np.array([len(p) for p in prefixes], np.int32)
+        T0 = _round_up(int(lengths.max()), self.prefix_bucket)
+        frames = _round_up(max_frames, self.frame_bucket)
+
+        padded = np.zeros((B, T0, cfg.d_model), np.float32)
+        for b, p in enumerate(prefixes):
+            padded[b, : len(p)] = p
+
+        if noise is None:
+            seed = params.seed
+            if seed == -1:
+                seed = int(time.time())
+            noise = np.stack(
+                [
+                    frame_noise(seed + b, frames, cfg.latent_dim,
+                                temp=params.temp, noise_clamp=params.noise_clamp)
+                    for b in range(B)
+                ]
+            )
+        elif noise.shape[1] < frames:
+            pad = np.zeros((B, frames - noise.shape[1], cfg.latent_dim), np.float32)
+            noise = np.concatenate([noise, pad], axis=1)
+
+        max_len = T0 + frames
+        cache = flowlm.make_cache(cfg, B, max_len, self.dtype)
+        cache, x0 = flowlm.prefill(
+            self.fw, cache, jnp.asarray(padded, self.dtype),
+            jnp.asarray(lengths), cfg
+        )
+        res = flowlm.generate_latents(
+            self.fw, cache, x0, jnp.asarray(noise, self.dtype), cfg,
+            max_frames=frames, num_steps=params.num_steps,
+            eos_enabled=bool(params.eos_enabled),
+            eos_threshold=params.eos_threshold,
+            eos_min_frames=params.eos_min_frames,
+            eos_after=jnp.asarray(
+                eos_after if eos_after is not None else params.eos_after, jnp.int32
+            ),
+        )
+        # cap frames_used at the caller's true max (bucketing may exceed it)
+        capped = jnp.minimum(res.frames_used, max_frames)
+        return res._replace(frames_used=capped)
+
+    def decode_audio_batch(self, scaled_latents: jnp.ndarray) -> np.ndarray:
+        """[B, F, 32] scaled latents -> PCM [B, F * 1920]."""
+        return np.asarray(mimi.decode(self.mw, scaled_latents, self.mimi_cfg))
+
+    def generate_full(self, text: str, voice: Optional[str] = None,
+                      params: Optional["api.Params"] = None,
+                      decode_audio: bool = True) -> GenerateOutput:
+        p = (params or api.Params()).normalized()
+
+        prepared, word_count, eos_after_guess = prepare_text(text)
+        token_ids = self.ctx.tokenize(prepared)
+        if p.num_frames <= 0:
+            p = dataclasses.replace(p, num_frames=estimate_frames(word_count))
+        if p.eos_after <= 0:
+            p = dataclasses.replace(p, eos_after=eos_after_guess)
+
+        cond, _ = self._voice_cond(voice)
+        prefix = self._build_prefix(token_ids, cond)
+
+        res = self.generate_latents_batch([prefix], p.num_frames, p)
+        used = int(res.frames_used[0])
+        latents = np.asarray(res.latents[0][:used])
+
+        audio = None
+        if decode_audio:
+            # decode on a bucketed frame count (bounds recompiles), slice after
+            fbucket = min(res.latents.shape[1], _round_up(used, self.frame_bucket))
+            scaled = flowlm.scale_latents(self.fw, res.latents[:, :fbucket])
+            pcm = self.decode_audio_batch(scaled)
+            samples = pcm[0][: used * self.mimi_cfg.frame_samples]
+            audio = Audio(sample_rate=p.sample_rate, channels=1,
+                          samples=np.asarray(samples, np.float32))
+
+        return GenerateOutput(
+            audio=audio,
+            latents=latents,
+            frames_used=used,
+            first_eos_logit=float(res.eos_logits[0, 0]),
+            first_cond=np.asarray(res.first_cond[0]),
+            first_flow=np.asarray(res.first_flow[0]),
+        )
+
+    def generate(self, text: str, voice: Optional[str] = None,
+                 params: Optional["api.Params"] = None) -> Audio:
+        out = self.generate_full(text, voice=voice, params=params)
+        assert out.audio is not None
+        return out.audio
+
+    def batch_generate(self, texts: Sequence[str],
+                       voices: Optional[Sequence[Optional[str]]] = None,
+                       params: Optional["api.Params"] = None) -> List[Audio]:
+        """B independent utterances in one device program."""
+        p = (params or api.Params()).normalized()
+        if voices is None:
+            voices = [None] * len(texts)
+
+        prefixes = []
+        frames = []
+        eos_afters = []
+        for text, voice in zip(texts, voices):
+            prepared, wc, eos_after_guess = prepare_text(text)
+            ids = self.ctx.tokenize(prepared)
+            cond, _ = self._voice_cond(voice)
+            prefixes.append(self._build_prefix(ids, cond))
+            frames.append(p.num_frames if p.num_frames > 0 else estimate_frames(wc))
+            eos_afters.append(p.eos_after if p.eos_after > 0 else eos_after_guess)
+
+        max_frames = max(frames)
+        res = self.generate_latents_batch(
+            prefixes, max_frames, p, eos_after=np.asarray(eos_afters, np.int32)
+        )
+        used = np.minimum(np.asarray(res.frames_used), np.asarray(frames))
+        scaled = flowlm.scale_latents(self.fw, res.latents)
+        pcm = self.decode_audio_batch(scaled)
+        out = []
+        for b in range(len(texts)):
+            n = int(used[b]) * self.mimi_cfg.frame_samples
+            out.append(Audio(sample_rate=p.sample_rate, channels=1,
+                             samples=np.asarray(pcm[b][:n], np.float32)))
+        return out

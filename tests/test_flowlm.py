@@ -1,0 +1,205 @@
+"""FlowLM JAX path vs the NumPy oracle (tiny random checkpoint)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import refimpl
+from helpers import TINY_FLOWLM, assert_close
+from ptts_tpu.models import flowlm
+from ptts_tpu.rng import frame_noise
+
+CFG = TINY_FLOWLM
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def weights():
+    return flowlm.random_weights(CFG, seed=3, scale=0.3)
+
+
+@pytest.fixture(scope="module")
+def dweights(weights):
+    return flowlm.to_device(weights)
+
+
+def randn(*shape, scale=1.0):
+    return (RNG.standard_normal(shape) * scale).astype(np.float32)
+
+
+# -- transformer ---------------------------------------------------------------
+
+
+def test_prefill_matches_oracle_batch_forward(weights, dweights):
+    T = 6
+    x = randn(T, CFG.d_model)
+    want_hidden = refimpl.flowlm_transformer(weights, x, CFG)
+
+    cache = flowlm.make_cache(CFG, batch=1, max_len=T + 4)
+    cache, last = flowlm.prefill(
+        dweights, cache, jnp.asarray(x)[None], jnp.asarray([T], jnp.int32), CFG
+    )
+    assert_close(last[0], want_hidden[-1], atol=2e-5, rtol=2e-5)
+    assert int(cache.length[0]) == T
+
+
+def test_decode_steps_match_batch_forward(weights, dweights):
+    """KV-cached decode == full causal forward, position by position."""
+    T0, extra = 4, 3
+    full = randn(T0 + extra, CFG.d_model)
+
+    cache = flowlm.make_cache(CFG, batch=1, max_len=T0 + extra + 1)
+    cache, last = flowlm.prefill(
+        dweights, cache, jnp.asarray(full[:T0])[None], jnp.asarray([T0], jnp.int32), CFG
+    )
+    for i in range(extra):
+        cache, last = flowlm.decode_step(dweights, cache, jnp.asarray(full[T0 + i])[None], CFG)
+        want = refimpl.flowlm_transformer(weights, full[: T0 + i + 1], CFG)[-1]
+        assert_close(last[0], want, atol=3e-5, rtol=3e-5, msg=f"step {i}")
+
+
+def test_prefill_ragged_lengths(weights, dweights):
+    """Padded batched prefill must match per-stream oracle results."""
+    lengths = [3, 6]
+    Tmax = max(lengths)
+    xs = [randn(L, CFG.d_model) for L in lengths]
+    padded = np.zeros((len(lengths), Tmax, CFG.d_model), np.float32)
+    for b, x in enumerate(xs):
+        padded[b, : len(x)] = x
+
+    cache = flowlm.make_cache(CFG, batch=2, max_len=Tmax + 2)
+    cache, last = flowlm.prefill(
+        dweights, cache, jnp.asarray(padded), jnp.asarray(lengths, jnp.int32), CFG
+    )
+    for b, x in enumerate(xs):
+        want = refimpl.flowlm_transformer(weights, x, CFG)[-1]
+        assert_close(last[b], want, atol=2e-5, rtol=2e-5, msg=f"stream {b}")
+
+
+# -- flow net -------------------------------------------------------------------
+
+
+def test_timestep_embed(weights, dweights):
+    for idx, t in [(0, 0.0), (0, 0.5), (1, 1.0), (1, 0.25)]:
+        want = refimpl.timestep_embed(weights["flow"]["time"], idx, t, CFG)
+        got = flowlm.timestep_embed(dweights, idx, jnp.float32(t), CFG)
+        assert_close(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_flow_net(weights, dweights):
+    cond = randn(2, CFG.d_model)
+    x_in = randn(2, CFG.latent_dim)
+    s, t = 0.0, 0.5
+
+    ts = refimpl.timestep_embed(weights["flow"]["time"], 0, s, CFG)
+    tt = refimpl.timestep_embed(weights["flow"]["time"], 1, t, CFG)
+    want0 = refimpl.flow_net(weights, cond[0], s, t, x_in[0], CFG)
+    want1 = refimpl.flow_net(weights, cond[1], s, t, x_in[1], CFG)
+
+    fw = dweights["flow"]
+    cond_emb = jnp.einsum("bi,oi->bo", jnp.asarray(cond), fw["cond_w"]) + fw["cond_b"]
+    te = (flowlm.timestep_embed(dweights, 0, jnp.float32(s), CFG)
+          + flowlm.timestep_embed(dweights, 1, jnp.float32(t), CFG)) * 0.5
+    got = flowlm.flow_net(dweights, cond_emb, te, jnp.asarray(x_in), CFG)
+    assert_close(got[0], want0, atol=2e-5, rtol=2e-5)
+    assert_close(got[1], want1, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("num_steps", [1, 4])
+def test_lsd_decode(weights, dweights, num_steps):
+    cond = randn(1, CFG.d_model)
+    x0 = randn(1, CFG.latent_dim)
+    want = refimpl.lsd_decode(weights, cond[0], num_steps, x0[0], CFG)
+
+    te = flowlm.lsd_time_embeds(dweights, num_steps, CFG)
+    got, first = flowlm.lsd_decode(dweights, jnp.asarray(cond), te, jnp.asarray(x0), CFG)
+    assert_close(got[0], want, atol=3e-5, rtol=3e-5)
+
+    want_first = refimpl.flow_net(weights, cond[0], 0.0, 1.0 / num_steps, x0[0], CFG)
+    assert_close(first[0], want_first, atol=3e-5, rtol=3e-5)
+
+
+# -- end-to-end generation -------------------------------------------------------
+
+
+def _build_prefix(weights, tokens, cond_prefix):
+    """Embed prompt like the generation driver (ptts_flowlm.c:1159-1185)."""
+    parts = []
+    if cond_prefix is not None:
+        parts.append(cond_prefix)
+    embeds = [weights["embed"][t] for t in tokens]
+    parts.append(np.stack(embeds))
+    bos = refimpl.linear(weights["input_linear"], None, weights["bos_emb"])
+    parts.append(bos[None])
+    return np.concatenate(parts, 0).astype(np.float32)
+
+
+@pytest.mark.parametrize("temp,steps", [(0.0, 1), (0.7, 2)])
+def test_generate_latents_matches_oracle(weights, dweights, temp, steps):
+    tokens = np.array([1, 4, 2, 9], np.int32)
+    cond_prefix = randn(2, CFG.d_model, scale=0.3)
+    max_frames = 5
+    noise = frame_noise(123, max_frames, CFG.latent_dim, temp=temp)
+
+    want = refimpl.flowlm_generate_latents(
+        weights, tokens, cond_prefix, max_frames, steps, noise, CFG,
+        eos_enabled=False,
+    )
+
+    prefix = _build_prefix(weights, tokens, cond_prefix)
+    T0 = len(prefix)
+    cache = flowlm.make_cache(CFG, 1, T0 + max_frames)
+    cache, x0 = flowlm.prefill(dweights, cache, jnp.asarray(prefix)[None],
+                               jnp.asarray([T0], jnp.int32), CFG)
+    res = flowlm.generate_latents(
+        dweights, cache, x0, jnp.asarray(noise)[None], CFG,
+        max_frames=max_frames, num_steps=steps, eos_enabled=False,
+    )
+    assert int(res.frames_used[0]) == want["frames_used"]
+    assert_close(res.latents[0], want["latents"], atol=1e-4, rtol=1e-4)
+    assert_close(res.eos_logits[0], want["eos_logits"], atol=1e-4, rtol=1e-3)
+    assert_close(res.first_cond[0], want["first_cond"], atol=5e-5, rtol=5e-5)
+    assert_close(res.first_flow[0], want["first_flow"], atol=1e-4, rtol=1e-4)
+
+
+def test_generate_eos_semantics(weights, dweights):
+    """Force EOS via threshold=-inf and check min_frames/eos_after behavior."""
+    tokens = np.array([1, 2], np.int32)
+    max_frames = 8
+    noise = frame_noise(5, max_frames, CFG.latent_dim, temp=0.5)
+    kwargs = dict(eos_threshold=-1e9, eos_min_frames=2, eos_after=3)
+
+    want = refimpl.flowlm_generate_latents(
+        weights, tokens, None, max_frames, 1, noise, CFG, eos_enabled=True, **kwargs
+    )
+    # eos fires at frame index 1 (min_frames=2), stop after frame 1+3=4 -> used=5
+    assert want["frames_used"] == 5
+
+    prefix = _build_prefix(weights, tokens, None)
+    T0 = len(prefix)
+    cache = flowlm.make_cache(CFG, 1, T0 + max_frames)
+    cache, x0 = flowlm.prefill(dweights, cache, jnp.asarray(prefix)[None],
+                               jnp.asarray([T0], jnp.int32), CFG)
+    res = flowlm.generate_latents(
+        dweights, cache, x0, jnp.asarray(noise)[None], CFG,
+        max_frames=max_frames, num_steps=1, eos_enabled=True, **kwargs
+    )
+    used = int(res.frames_used[0])
+    assert used == want["frames_used"]
+    assert_close(res.latents[0, :used], want["latents"], atol=1e-4, rtol=1e-4)
+
+
+def test_scale_latents(weights, dweights):
+    lat = randn(2, 3, CFG.latent_dim)
+    got = flowlm.scale_latents(dweights, jnp.asarray(lat))
+    want = refimpl.scale_latents(weights, lat)
+    assert_close(got, want, atol=1e-6)
+
+
+def test_embed_tokens_clamps(weights, dweights):
+    ids = jnp.asarray([0, CFG.vocab, -1, CFG.vocab + 1, 3])
+    emb = flowlm.embed_tokens(dweights, ids, CFG)
+    assert_close(emb[2], weights["embed"][0])  # -1 -> row 0
+    assert_close(emb[3], weights["embed"][0])  # vocab+1 -> row 0
+    assert_close(emb[1], weights["embed"][CFG.vocab])  # vocab is valid (vocab+1 rows)

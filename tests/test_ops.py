@@ -1,0 +1,215 @@
+"""JAX ops vs the NumPy oracle (refimpl) — the TPU analogue of the
+reference's CUDA-vs-CPU validate gate (maxdiff <= 1e-3, Makefile:152-157);
+we hold a tighter 1e-5 here since both sides are f32."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import refimpl
+from helpers import assert_close
+from ptts_tpu.ops.activations import gelu_erf, gelu_tanh, silu
+from ptts_tpu.ops.attention import causal_attention, decode_attention
+from ptts_tpu.ops.conv import (
+    conv1d_causal,
+    convtr1d_causal,
+    elu,
+    prepare_conv_kernel,
+    prepare_convtr_kernel,
+)
+from ptts_tpu.ops.norms import kyutai_rmsnorm, layernorm
+from ptts_tpu.ops.rope import rope_rotate
+
+RNG = np.random.default_rng(42)
+
+
+def randn(*shape, scale=1.0):
+    return (RNG.standard_normal(shape) * scale).astype(np.float32)
+
+
+# -- norms -------------------------------------------------------------------
+
+
+def test_layernorm():
+    x = randn(4, 16)
+    w, b = randn(16), randn(16)
+    got = layernorm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), 1e-5)
+    want = refimpl.layernorm(x, w, b, 1e-5)
+    assert_close(got, want)
+
+
+def test_layernorm_no_affine():
+    x = randn(3, 8)
+    got = layernorm(jnp.asarray(x), None, None, 1e-6)
+    want = refimpl.layernorm(x, None, None, 1e-6)
+    assert_close(got, want)
+
+
+def test_kyutai_rmsnorm():
+    x = randn(5, 16)
+    alpha = 1.0 + randn(16, scale=0.1)
+    got = kyutai_rmsnorm(jnp.asarray(x), jnp.asarray(alpha), 1e-5)
+    want = refimpl.kyutai_rmsnorm(x, alpha, 1e-5)
+    assert_close(got, want)
+    # the nonstandard norm differs from a standard RMSNorm: check it is NOT
+    # mean-square normalization (guards against "fixing" it)
+    standard = x / np.sqrt((x * x).mean(-1, keepdims=True) + 1e-5) * alpha
+    assert np.abs(np.asarray(got) - standard).max() > 1e-3
+
+
+# -- activations ---------------------------------------------------------------
+
+
+def test_activations():
+    x = randn(100, scale=3.0)
+    # f32 transcendentals differ by a few ulp between XLA and libm/numpy
+    assert_close(gelu_erf(jnp.asarray(x)), refimpl.gelu_flowlm(x), atol=1e-5, rtol=2e-5)
+    assert_close(gelu_tanh(jnp.asarray(x)), refimpl.gelu_mimi(x), atol=1e-5, rtol=2e-5)
+    assert_close(silu(jnp.asarray(x)), refimpl.silu(x), atol=1e-6)
+    assert_close(elu(jnp.asarray(x)), refimpl.elu(x), atol=1e-6)
+
+
+# -- rope ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("offset", [0, 7])
+def test_rope(offset):
+    T, H, D = 5, 3, 8
+    q, k = randn(T, H, D), randn(T, H, D)
+    pos = np.arange(T) + offset
+    want_q, want_k = refimpl.rope_apply(q, k, pos, 10000.0)
+    got_q, got_k = rope_rotate(
+        jnp.asarray(q)[None], jnp.asarray(k)[None], jnp.asarray(pos)[None]
+    )
+    assert_close(got_q[0], want_q)
+    assert_close(got_k[0], want_k)
+
+
+# -- attention -------------------------------------------------------------------
+
+
+def test_causal_attention():
+    T, H, D = 7, 2, 8
+    q, k, v = randn(T, H, D), randn(T, H, D), randn(T, H, D)
+    want = refimpl.attention_causal(q, k, v)
+    got = causal_attention(jnp.asarray(q)[None], jnp.asarray(k)[None], jnp.asarray(v)[None])
+    assert_close(got[0], want)
+
+
+def test_windowed_attention():
+    T, H, D = 12, 2, 4
+    q, k, v = randn(T, H, D), randn(T, H, D), randn(T, H, D)
+    want = refimpl.attention_causal(q, k, v, context=3)
+    got = causal_attention(
+        jnp.asarray(q)[None], jnp.asarray(k)[None], jnp.asarray(v)[None], context=3
+    )
+    assert_close(got[0], want)
+
+
+def test_causal_attention_ragged_lengths():
+    """Padded batched prefill must equal per-stream unpadded attention."""
+    H, D = 2, 4
+    lengths = [3, 7, 5]
+    T = max(lengths)
+    q = randn(len(lengths), T, H, D)
+    k = randn(len(lengths), T, H, D)
+    v = randn(len(lengths), T, H, D)
+    got = causal_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        lengths=jnp.asarray(lengths),
+    )
+    for b, L in enumerate(lengths):
+        want = refimpl.attention_causal(q[b, :L], k[b, :L], v[b, :L])
+        assert_close(got[b, :L], want, msg=f"stream {b}")
+
+
+def test_decode_attention_matches_full():
+    """Single-query decode over a cache == last row of full causal attention."""
+    B, T, H, D = 3, 6, 2, 4
+    q_all = randn(B, T, H, D)
+    k_all = randn(B, T, H, D)
+    v_all = randn(B, T, H, D)
+    full = causal_attention(jnp.asarray(q_all), jnp.asarray(k_all), jnp.asarray(v_all))
+
+    Tmax = 10
+    k_cache = np.zeros((B, Tmax, H, D), np.float32)
+    v_cache = np.zeros((B, Tmax, H, D), np.float32)
+    k_cache[:, :T] = k_all
+    v_cache[:, :T] = v_all
+    got = decode_attention(
+        jnp.asarray(q_all[:, -1]), jnp.asarray(k_cache), jnp.asarray(v_cache),
+        jnp.full((B,), T, dtype=np.int32),
+    )
+    assert_close(got, full[:, -1])
+
+
+def test_decode_attention_per_stream_lengths():
+    B, Tmax, H, D = 2, 8, 2, 4
+    k_cache = randn(B, Tmax, H, D)
+    v_cache = randn(B, Tmax, H, D)
+    q = randn(B, H, D)
+    lengths = np.array([3, 6], np.int32)
+    got = decode_attention(jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache),
+                           jnp.asarray(lengths))
+    for b, L in enumerate(lengths):
+        # oracle: 1-query causal attention where query sits at position L-1
+        qb = np.concatenate([np.zeros((L - 1, H, D), np.float32), q[b][None]])
+        want = refimpl.attention_causal(qb, k_cache[b, :L], v_cache[b, :L])[-1]
+        assert_close(got[b], want, msg=f"stream {b}")
+
+
+# -- convolutions -----------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "in_ch,out_ch,k,stride,groups,T",
+    [
+        (4, 6, 3, 1, 1, 10),
+        (4, 6, 7, 1, 1, 12),
+        (8, 8, 32, 16, 8, 4),   # depthwise-ish strided
+        (6, 3, 5, 2, 3, 8),
+        (1, 4, 3, 1, 1, 9),
+        (4, 1, 3, 1, 1, 9),
+    ],
+)
+def test_conv1d(in_ch, out_ch, k, stride, groups, T):
+    x = randn(in_ch, T)  # channel-major for oracle
+    w = randn(out_ch, in_ch // groups, k)
+    b = randn(out_ch)
+    want = refimpl.conv1d(x, w, b, stride, groups)
+    kern = prepare_conv_kernel(w)
+    got = conv1d_causal(jnp.asarray(x.T)[None], jnp.asarray(kern), jnp.asarray(b),
+                        stride=stride, groups=groups)
+    assert_close(np.asarray(got)[0].T, want, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "in_ch,out_ch,k,stride,groups,T",
+    [
+        (4, 2, 12, 6, 1, 5),
+        (4, 2, 10, 5, 1, 7),
+        (4, 2, 8, 4, 1, 3),
+        (8, 8, 32, 16, 8, 3),   # grouped
+        (6, 6, 4, 2, 6, 5),     # depthwise
+        (3, 5, 3, 1, 1, 6),     # stride 1
+    ],
+)
+def test_convtr1d(in_ch, out_ch, k, stride, groups, T):
+    x = randn(in_ch, T)
+    w = randn(in_ch, out_ch // groups, k)
+    b = randn(out_ch)
+    want = refimpl.convtr1d(x, w, b, stride, groups)
+    kern = prepare_convtr_kernel(w, groups)
+    got = convtr1d_causal(jnp.asarray(x.T)[None], jnp.asarray(kern), jnp.asarray(b),
+                          stride=stride, groups=groups)
+    assert np.asarray(got).shape == (1, T * stride, out_ch)
+    assert_close(np.asarray(got)[0].T, want, atol=1e-5)
+
+
+def test_conv1d_no_bias():
+    x = randn(2, 8)
+    w = randn(3, 2, 3)
+    want = refimpl.conv1d(x, w, None, 1, 1)
+    got = conv1d_causal(jnp.asarray(x.T)[None], jnp.asarray(prepare_conv_kernel(w)), None)
+    assert_close(np.asarray(got)[0].T, want, atol=1e-5)
