@@ -9,7 +9,10 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the machine environment pins JAX_PLATFORMS=axon (the real
+# TPU tunnel, which serializes across processes); tests must run hermetically
+# on the host CPU with a virtual multi-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
