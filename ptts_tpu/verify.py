@@ -148,9 +148,12 @@ def verify_mimi(st, cfg: MimiConfig = MimiConfig()) -> VerifyReport:
         conv(f"{base}.block.1", hidden, d, rk, True)
         conv(f"{base}.block.3", d, hidden, 1, True)
 
-    # down/upsample between 200 Hz and 12.5 Hz
+    # down/upsample between 200 Hz and 12.5 Hz. The real checkpoint doubles
+    # the module name ("upsample.convtr.convtr.weight"); the reference's
+    # schema does too (ptts.c:914-917 via expect_conv1d/expect_convtr1d).
     conv("downsample.conv", dim, dim, cfg.upsample_kernel, False)
     convtr("upsample.convtr", dim, 1, cfg.upsample_kernel, False)
+    # (expect helpers append .conv/.convtr below)
 
     # encoder (present in checkpoints, unused by decode)
     conv("encoder.model.0", nf, 1, ks, True)

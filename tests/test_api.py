@@ -1,0 +1,133 @@
+"""End-to-end API tests on a synthetic model directory (tiny configs)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import refimpl
+from helpers import TINY_FLOWLM, TINY_MIMI, assert_close, write_model_dir
+from ptts_tpu import api
+from ptts_tpu.io.wav import load_wav, save_wav
+from ptts_tpu.rng import frame_noise
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("model")
+    return write_model_dir(d, seed=0)
+
+
+@pytest.fixture(scope="module")
+def ctx(model_dir):
+    path, fw, mw = model_dir
+    return api.Context(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
+
+
+def test_load_dir_discovery(model_dir):
+    path, _, _ = model_dir
+    ctx = api.load_dir(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
+    assert ctx.weights_path.endswith("tts_b6369a24.safetensors")
+    assert ctx.tokenizer is not None
+    assert "Pocket-TTS model info" in ctx.info()
+    assert len(ctx.find_tensors("flow_net")) > 0
+    ctx.close()
+
+
+def test_load_dir_missing():
+    with pytest.raises(api.PttsError):
+        api.load_dir("/nonexistent/dir")
+
+
+def test_verify_weights(ctx):
+    report = ctx.verify_weights()
+    assert report.errors == 0, report.format()
+
+
+def test_verify_catches_missing(tmp_path):
+    from ptts_tpu.io.safetensors import save_safetensors
+
+    save_safetensors(str(tmp_path / "w.safetensors"),
+                     {"bogus": np.zeros((2, 2), np.float32)})
+    ctx = api.Context(str(tmp_path), flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
+    report = ctx.verify_weights()
+    assert report.errors > 0
+    assert any("conditioner.embed.weight" in m for m in report.missing)
+
+
+def test_tokenize(ctx):
+    ids = ctx.tokenize("hello world")
+    assert ids and all(isinstance(i, int) for i in ids)
+    assert ctx.token_piece(ids[0]) is not None
+
+
+def test_voice_resolution(model_dir):
+    path, _, _ = model_dir
+    assert api.resolve_voice_path(path, "alba").endswith("embeddings/alba.safetensors")
+    assert api.resolve_voice_path(path, None).endswith("alba.safetensors")
+    assert api.resolve_voice_path(path, "none") is None
+    assert api.resolve_voice_path(path, "missing_voice") is None
+    cond, n = api.load_voice_conditioning(path, "alba", TINY_FLOWLM.d_model)
+    assert cond.shape == (3, TINY_FLOWLM.d_model) and n == 3
+    cond, n = api.load_voice_conditioning(path, "none", TINY_FLOWLM.d_model)
+    assert cond is None and n == 0
+    with pytest.raises(api.PttsError):
+        api.load_voice_conditioning(path, "missing_voice", TINY_FLOWLM.d_model)
+
+
+def test_generate_end_to_end(ctx, tmp_path):
+    p = api.Params(num_frames=4, num_steps=1, seed=123, temp=0.7)
+    audio = ctx.generate("hello world", voice="alba", params=p)
+    assert audio.sample_rate == 24000
+    # eos may stop early; audio length = used * frame_samples
+    assert audio.num_samples % TINY_MIMI.frame_samples == 0
+    assert audio.num_samples > 0
+
+    wav_path = str(tmp_path / "out.wav")
+    save_wav(audio, wav_path)
+    back = load_wav(wav_path)
+    assert back.num_samples == audio.num_samples
+
+
+def test_generate_matches_oracle_pipeline(ctx, model_dir):
+    """Full engine output == numpy oracle end-to-end (latents + audio)."""
+    path, fw, mw = model_dir
+    p = api.Params(num_frames=3, num_steps=1, seed=42, temp=0.5, eos_enabled=False)
+    out = ctx.engine.generate_full("hello world", voice="alba", params=p)
+
+    # oracle path
+    from ptts_tpu.text import prepare_text
+
+    prepared, wc, _ = prepare_text("hello world")
+    ids = np.array(ctx.tokenize(prepared), np.int32)
+    cond, _ = api.load_voice_conditioning(path, "alba", TINY_FLOWLM.d_model)
+    noise = frame_noise(42, 64, TINY_FLOWLM.latent_dim, temp=0.5)  # engine buckets to 64
+    want = refimpl.flowlm_generate_latents(
+        fw, ids, cond, 3, 1, noise, TINY_FLOWLM, eos_enabled=False
+    )
+    assert out.frames_used == 3
+    assert_close(out.latents, want["latents"], atol=2e-4, rtol=2e-4)
+    assert_close(out.first_cond, want["first_cond"], atol=1e-4, rtol=1e-4)
+    assert_close(out.first_flow, want["first_flow"], atol=1e-4, rtol=1e-4)
+
+    scaled = refimpl.scale_latents(fw, want["latents"])
+    want_audio = refimpl.mimi_decode(mw["_torch"], scaled, TINY_MIMI)
+    assert_close(out.audio.samples, want_audio, atol=5e-4, rtol=5e-4)
+
+
+def test_batch_generate_matches_single(ctx):
+    p = api.Params(num_frames=3, num_steps=1, seed=7, temp=0.0, eos_enabled=False)
+    texts = ["hello world", "how low"]
+    batch = ctx.engine.batch_generate(texts, params=p)
+    for text, audio in zip(texts, batch):
+        single = ctx.engine.generate(text, params=p)
+        assert audio.num_samples == single.num_samples
+        assert_close(audio.samples, single.samples, atol=1e-4,
+                     msg=f"batch vs single for {text!r}")
+
+
+def test_generate_dummy():
+    audio = api.generate_dummy("hi there")
+    assert audio.sample_rate == 24000
+    assert audio.num_samples > 0
+    assert np.abs(audio.samples).max() <= 0.21
