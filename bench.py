@@ -1,0 +1,140 @@
+"""Serving benchmark: concurrent real-time 24 kHz streams per chip.
+
+Runs the full pipeline (prefill -> jitted AR frame loop -> latent scaling ->
+Mimi vocoder) for B independent streams on one chip and reports
+
+    streams = B * generated_audio_seconds / wall_seconds
+
+i.e. how many independent real-time streams the chip sustains. Baseline is
+the BASELINE.json north-star target of 200 streams/chip on TPU v5e (the
+reference publishes no wall-clock numbers -- BASELINE.md).
+
+Prints ONE JSON line:
+    {"metric": "concurrent_realtime_streams", "value": N, "unit": "streams/chip",
+     "vs_baseline": N/200}
+
+Env knobs: PTTS_BENCH_BATCH (default 256), PTTS_BENCH_FRAMES (default 50),
+PTTS_BENCH_DTYPE (f32|bf16, default bf16), PTTS_BENCH_REPEATS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
+              verbose: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    from ptts_tpu.config import FlowLMConfig, MimiConfig
+    from ptts_tpu.models import flowlm, mimi
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    cfg = FlowLMConfig()
+    mcfg = MimiConfig()
+
+    T0 = 64                       # voice cond (~30) + tokens (~30) + BOS
+    frame_bucket = ((frames + 63) // 64) * 64
+    max_len = T0 + frame_bucket
+
+    fw = flowlm.to_device(flowlm.random_weights(cfg, seed=0), dtype)
+    mw = mimi.to_device(mimi.random_weights(mcfg, seed=1), dtype)
+
+    rng = np.random.default_rng(0)
+    prefix = jnp.asarray(
+        rng.standard_normal((batch, T0, cfg.d_model)) * 0.02, dtype
+    )
+    lengths = jnp.full((batch,), T0, jnp.int32)
+    noise = jnp.asarray(
+        rng.standard_normal((batch, frame_bucket, cfg.latent_dim)) * 0.8, dtype
+    )
+
+    def pipeline(prefix, lengths, noise):
+        cache = flowlm.make_cache(cfg, batch, max_len, dtype)
+        cache, x0 = flowlm.prefill(fw, cache, prefix, lengths, cfg)
+        res = flowlm.generate_latents(
+            fw, cache, x0, noise, cfg, max_frames=frame_bucket, num_steps=1,
+            eos_enabled=False,
+        )
+        lat = res.latents[:, :frames]
+        scaled = flowlm.scale_latents(fw, lat)
+        return mimi.decode(mw, scaled, mcfg)
+
+    fn = jax.jit(pipeline)
+
+    t_compile = time.perf_counter()
+    pcm = fn(prefix, lengths, noise)
+    pcm.block_until_ready()
+    compile_s = time.perf_counter() - t_compile
+    if verbose:
+        print(f"[bench] warmup+compile: {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        pcm = fn(prefix, lengths, noise)
+        pcm.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+
+    audio_seconds = frames / mcfg.frame_rate  # per stream
+    streams = batch * audio_seconds / wall
+    xrt = streams  # aggregate real-time factor per chip
+    if verbose:
+        print(
+            f"[bench] B={batch} frames={frames} dtype={dtype_name} "
+            f"wall={wall:.3f}s audio={audio_seconds:.1f}s/stream "
+            f"-> {streams:.1f} streams/chip",
+            file=sys.stderr,
+        )
+    return {
+        "metric": "concurrent_realtime_streams",
+        "value": round(float(streams), 2),
+        "unit": "streams/chip",
+        "vs_baseline": round(float(streams) / 200.0, 3),
+        "detail": {
+            "batch": batch,
+            "frames": frames,
+            "dtype": dtype_name,
+            "wall_s": round(wall, 4),
+            "compile_s": round(compile_s, 1),
+            "platform": jax.default_backend(),
+        },
+    }
+
+
+def main() -> int:
+    batch = int(os.environ.get("PTTS_BENCH_BATCH", "256"))
+    frames = int(os.environ.get("PTTS_BENCH_FRAMES", "50"))
+    dtype = os.environ.get("PTTS_BENCH_DTYPE", "bf16")
+    repeats = int(os.environ.get("PTTS_BENCH_REPEATS", "3"))
+
+    result = None
+    b = batch
+    while b >= 8:
+        try:
+            result = run_bench(b, frames, dtype, repeats)
+            break
+        except Exception as e:  # OOM etc: halve the batch and retry
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                print(f"[bench] B={b} OOM, retrying with {b // 2}", file=sys.stderr)
+                b //= 2
+                continue
+            raise
+    if result is None:
+        print(json.dumps({"metric": "concurrent_realtime_streams", "value": 0,
+                          "unit": "streams/chip", "vs_baseline": 0}))
+        return 1
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

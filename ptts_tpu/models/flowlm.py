@@ -389,7 +389,8 @@ def flow_net(
     fw = w["flow"]
     fd = cfg.flow_dim
     x = _linear(fw["input_w"], fw["input_b"], x_in)
-    tmp2 = time_emb + cond_emb  # [B, fd]
+    # time embeds are computed in f32 (parity); drop to the compute dtype here
+    tmp2 = time_emb.astype(cond_emb.dtype) + cond_emb  # [B, fd]
     mod = silu(tmp2)
 
     res = fw["res"]

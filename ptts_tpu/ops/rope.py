@@ -38,9 +38,11 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     xp = x.reshape(shape[:-1] + (shape[-1] // 2, 2))
     x0 = xp[..., 0]
     x1 = xp[..., 1]
+    # rotate in f32 (cos/sin are f32), return in the input compute dtype so
+    # bf16 runs don't silently promote the whole residual stream
     r0 = x0 * cos - x1 * sin
     r1 = x0 * sin + x1 * cos
-    return jnp.stack([r0, r1], axis=-1).reshape(shape)
+    return jnp.stack([r0, r1], axis=-1).reshape(shape).astype(x.dtype)
 
 
 def rope_rotate(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
