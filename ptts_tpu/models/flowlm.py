@@ -252,6 +252,7 @@ def _split_qkv(qkv: jnp.ndarray, H: int, D: int):
     return q.reshape(newshape), k.reshape(newshape), v.reshape(newshape)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def prefill(
     w: Weights,
     cache: KVCache,

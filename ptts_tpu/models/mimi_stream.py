@@ -1,0 +1,278 @@
+"""Streaming Mimi decoder: one 80 ms PCM chunk per FlowLM frame.
+
+The reference decodes whole latent sequences only (ptts_mimi_decode,
+/root/reference/ptts_mimi.c:570-738); the BASELINE.json north star requires a
+streaming path (time-to-first-chunk < 150 ms). This module decodes
+frame-by-frame with exact equality to the full-sequence decoder:
+
+  * causal conv1d: carry the last (k - stride) input samples per stream
+  * transposed conv: emit T*stride outputs per chunk and carry the (k - s)
+    trailing partial sums (bias is applied only on emission)
+  * windowed transformer (context 250): ring-buffer KV cache of size RING
+    with absolute-position masking -- bounded memory for unbounded audio
+
+All state lives in a pytree of [B, ...] arrays: B concurrent streams advance
+in lockstep inside one jitted step, and the state shards over the batch mesh
+like the FlowLM KV cache.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MimiConfig
+from ..ops.activations import gelu_tanh
+from ..ops.attention import NEG_INF
+from ..ops.conv import conv1d_causal, convtr1d_causal, elu
+from ..ops.norms import layernorm
+from ..ops.rope import rope_rotate
+
+RING = 384  # >= context (250) + per-frame positions (16); multiple of 128
+
+State = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Streaming conv primitives
+# ---------------------------------------------------------------------------
+
+
+def conv_carry_init(batch: int, k: int, stride: int, in_ch: int, dtype) -> jnp.ndarray:
+    """Zero left-context: matches the full decoder's zero left_pad."""
+    return jnp.zeros((batch, k - stride, in_ch), dtype)
+
+
+def conv1d_stream(
+    x: jnp.ndarray,        # [B, Tc, Cin] chunk input
+    carry: jnp.ndarray,    # [B, k - stride, Cin]
+    kernel: jnp.ndarray,   # WIO [k, in/g, out]
+    bias,
+    *,
+    stride: int = 1,
+    groups: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming causal conv: returns (y [B, Tc//stride, Cout], new_carry)."""
+    k = kernel.shape[0]
+    ctx = k - stride
+    full = jnp.concatenate([carry, x], axis=1)
+    y = jax.lax.conv_general_dilated(
+        full,
+        kernel.astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(0, 0)],  # context is explicit
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias
+    new_carry = full[:, full.shape[1] - ctx :, :] if ctx > 0 else carry
+    return y.astype(x.dtype), new_carry
+
+
+def convtr_carry_init(batch: int, k: int, stride: int, out_ch: int, dtype) -> jnp.ndarray:
+    return jnp.zeros((batch, k - stride, out_ch), dtype)
+
+
+def convtr1d_stream(
+    x: jnp.ndarray,        # [B, Tc, Cin]
+    carry: jnp.ndarray,    # [B, k - stride, Cout] pending partial sums (no bias)
+    kernel: jnp.ndarray,   # flipped WIO [k, in/g, out] (prepare_convtr_kernel)
+    bias,
+    *,
+    stride: int,
+    groups: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming transposed conv: returns (y [B, Tc*stride, Cout], new_carry)."""
+    k = kernel.shape[0]
+    tail = k - stride
+    Tc = x.shape[1]
+    y_full = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(1,),
+        padding=[(k - 1, k - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )  # [B, (Tc-1)*s + k, Cout]
+    emit = y_full[:, : Tc * stride, :]
+    if tail > 0:
+        pad = jnp.zeros((x.shape[0], Tc * stride - tail, carry.shape[-1]),
+                        y_full.dtype)
+        emit = emit + jnp.concatenate([carry.astype(y_full.dtype), pad], axis=1)
+        new_carry = y_full[:, Tc * stride :, :].astype(carry.dtype)
+    else:
+        new_carry = carry
+    if bias is not None:
+        emit = emit + bias
+    return emit.astype(x.dtype), new_carry
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed transformer (ring-buffer KV)
+# ---------------------------------------------------------------------------
+
+
+def ring_init(cfg: MimiConfig, batch: int, dtype) -> State:
+    shape = (cfg.num_layers, batch, RING, cfg.num_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "pos": jnp.zeros((), jnp.int32),  # positions processed so far (lockstep)
+    }
+
+
+def _ring_attention(
+    q: jnp.ndarray,        # [B, Tc, H, D] (already rope'd)
+    k_ring: jnp.ndarray,   # [B, RING, H, D]
+    v_ring: jnp.ndarray,
+    pos0: jnp.ndarray,     # scalar: absolute position of q[0]
+    Tc: int,
+    context: int,
+) -> jnp.ndarray:
+    """Attention over ring slots with absolute-position window masking."""
+    B, R = k_ring.shape[0], k_ring.shape[1]
+    D = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_ring,
+                        preferred_element_type=jnp.float32) * scale
+
+    # Absolute position stored in ring slot j: the latest p <= p_end with
+    # p % R == j (slots older than R positions have been overwritten).
+    p_end = pos0 + Tc - 1
+    slots = jnp.arange(R)
+    key_abs = p_end - ((p_end - slots) % R)          # [R]
+    q_pos = pos0 + jnp.arange(Tc)                     # [Tc]
+    valid = (key_abs[None, :] >= 0) & (key_abs[None, :] <= q_pos[:, None])
+    valid &= (q_pos[:, None] - key_abs[None, :]) < context
+    scores = jnp.where(valid[None, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_ring.dtype), v_ring,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def transformer_stream(
+    w: State, ring: State, x: jnp.ndarray, cfg: MimiConfig
+) -> Tuple[State, jnp.ndarray]:
+    """Process a chunk of Tc 200 Hz positions through the depth transformer."""
+    B, Tc, d = x.shape
+    H, D = cfg.num_heads, cfg.head_dim
+    pos0 = ring["pos"]
+    positions = pos0 + jnp.arange(Tc)
+    slots = (pos0 + jnp.arange(Tc)) % RING
+
+    k_rings, v_rings = ring["k"], ring["v"]
+    for l in range(cfg.num_layers):
+        xn = layernorm(x, w["norm1_w"][l], w["norm1_b"][l], cfg.ln_eps)
+        qkv = jnp.einsum("btd,od->bto", xn, w["in_proj"][l],
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        q = qkv[..., :d].reshape(B, Tc, H, D)
+        k = qkv[..., d : 2 * d].reshape(B, Tc, H, D)
+        v = qkv[..., 2 * d :].reshape(B, Tc, H, D)
+        q, k = rope_rotate(q, k, positions[None, :], cfg.max_period)
+
+        k_rings = k_rings.at[l].set(k_rings[l].at[:, slots].set(k))
+        v_rings = v_rings.at[l].set(v_rings[l].at[:, slots].set(v))
+
+        attn = _ring_attention(q, k_rings[l], v_rings[l], pos0, Tc, cfg.context)
+        add = jnp.einsum("bthd,ohd->bto", attn.reshape(B, Tc, H, D),
+                         w["out_proj"][l].reshape(d, H, D),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        if w["ls1"] is not None:
+            add = add * w["ls1"][l]
+        x = x + add
+        xn = layernorm(x, w["norm2_w"][l], w["norm2_b"][l], cfg.ln_eps)
+        ff = gelu_tanh(
+            jnp.einsum("btd,od->bto", xn, w["linear1"][l],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        )
+        add = jnp.einsum("bto,do->btd", ff, w["linear2"][l],
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        if w["ls2"] is not None:
+            add = add * w["ls2"][l]
+        x = x + add
+
+    new_ring = {"k": k_rings, "v": v_rings, "pos": pos0 + Tc}
+    return new_ring, x
+
+
+# ---------------------------------------------------------------------------
+# Full streaming state
+# ---------------------------------------------------------------------------
+
+
+def init_state(w: State, cfg: MimiConfig, batch: int, dtype=jnp.float32) -> State:
+    mult = 2 ** len(cfg.ratios)
+    stages = []
+    ch = mult * cfg.n_filters
+    for ratio in cfg.ratios:
+        out_ch = ch // 2
+        stages.append(
+            {
+                "up": convtr_carry_init(batch, 2 * ratio, ratio, out_ch, dtype),
+                "res1": conv_carry_init(batch, cfg.residual_kernel, 1, out_ch, dtype),
+                # res conv2 has k=1: no carry needed
+            }
+        )
+        ch = out_ch
+    return {
+        "up": convtr_carry_init(batch, cfg.upsample_kernel, cfg.upsample_stride,
+                                cfg.d_model, dtype),
+        "ring": ring_init(cfg, batch, dtype),
+        "dec_in": conv_carry_init(batch, cfg.kernel_size, 1,
+                                  cfg.d_model, dtype),
+        "stages": stages,
+        "dec_out": conv_carry_init(batch, cfg.last_kernel_size, 1,
+                                   cfg.n_filters, dtype),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def decode_stream(
+    w: State, state: State, latents: jnp.ndarray, cfg: MimiConfig
+) -> Tuple[State, jnp.ndarray]:
+    """Decode a chunk of F frames: [B, F, latent] -> [B, F * frame_samples].
+
+    Chunked output is exactly equal to the same frames' slice of the
+    full-sequence mimi.decode (validated in tests/test_mimi_stream.py).
+    """
+    x = jnp.einsum("bfi,oi->bfo", latents, w["quant_w"],
+                   preferred_element_type=jnp.float32).astype(latents.dtype)
+    x, up_carry = convtr1d_stream(
+        x, state["up"], w["upsample_kernel"], None,
+        stride=cfg.upsample_stride, groups=cfg.d_model,
+    )
+    ring, x = transformer_stream(w["transformer"], state["ring"], x, cfg)
+
+    x, dec_in_carry = conv1d_stream(x, state["dec_in"], w["dec_in_kernel"],
+                                    w["dec_in_bias"])
+    new_stages = []
+    for st, stw, ratio in zip(state["stages"], w["stages"], cfg.ratios):
+        x = elu(x)
+        x, up_c = convtr1d_stream(x, st["up"], stw["up_kernel"], stw["up_bias"],
+                                  stride=ratio)
+        h = elu(x)
+        h, r1_c = conv1d_stream(h, st["res1"], stw["res1_kernel"], stw["res1_bias"])
+        h = elu(h)
+        h = conv1d_causal(h, stw["res2_kernel"], stw["res2_bias"])  # k=1: stateless
+        x = x + h
+        new_stages.append({"up": up_c, "res1": r1_c})
+    x = elu(x)
+    x, dec_out_carry = conv1d_stream(x, state["dec_out"], w["dec_out_kernel"],
+                                     w["dec_out_bias"])
+
+    new_state = {
+        "up": up_carry,
+        "ring": ring,
+        "dec_in": dec_in_carry,
+        "stages": new_stages,
+        "dec_out": dec_out_carry,
+    }
+    return new_state, x[..., 0]

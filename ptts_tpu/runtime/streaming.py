@@ -1,0 +1,178 @@
+"""Streaming synthesis: emit one 80 ms PCM chunk per FlowLM frame.
+
+The reference has no streaming mode (it decodes whole sequences,
+SURVEY.md §7 step 7); this is the serving path behind the north-star
+time-to-first-chunk target. A StreamingSession drives B lockstep streams:
+
+    session = StreamingSession.start(engine, texts, voices, params)
+    for chunk in session:        # chunk: [B, 1920] f32 PCM @ 24 kHz
+        play(chunk)
+
+Each step runs one jitted FlowLM frame (out_norm -> EOS -> flow-matching
+Euler -> input_linear -> KV decode step) and one jitted streaming-Mimi chunk
+decode; both carry donated device state, so per-frame host work is just the
+two dispatches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import api
+from ..config import FlowLMConfig
+from ..models import flowlm, mimi_stream
+from ..ops.norms import layernorm
+from ..rng import frame_noise
+from ..text import estimate_frames, prepare_text
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "eos_enabled"), donate_argnames=("cache",)
+)
+def flow_frame_step(
+    w,
+    cache: flowlm.KVCache,
+    x: jnp.ndarray,            # [B, d_model] transformer output at prev pos
+    noise: jnp.ndarray,        # [B, latent]
+    time_embs: jnp.ndarray,    # [S, flow_dim]
+    frame_idx: jnp.ndarray,    # scalar int32
+    eos_step: jnp.ndarray,     # [B]
+    done: jnp.ndarray,         # [B] bool
+    cfg: FlowLMConfig,
+    eos_enabled: bool,
+    eos_threshold: float,
+    eos_min_frames: int,
+    eos_after: jnp.ndarray,    # [B]
+):
+    """One generation frame (mirrors the body of flowlm.generate_latents)."""
+    normed = layernorm(x, w["out_norm_w"], w["out_norm_b"], cfg.ln_eps)
+    eos = flowlm.eos_logit(w, normed)
+    hit = eos_enabled & ((frame_idx + 1) >= eos_min_frames) & (eos >= eos_threshold)
+    eos_step = jnp.where((eos_step < 0) & hit, frame_idx, eos_step)
+
+    latent, _ = flowlm.lsd_decode(w, normed, time_embs, noise, cfg)
+    newly_done = (eos_step >= 0) & (frame_idx >= eos_step + eos_after)
+    done = done | newly_done
+
+    scaled = flowlm.scale_latents(w, latent)
+    nxt = jnp.einsum("bi,oi->bo", latent, w["input_linear"],
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    cache, x = flowlm.decode_step(w, cache, nxt, cfg)
+    return cache, x, scaled, eos, eos_step, done
+
+
+@dataclasses.dataclass
+class StreamChunk:
+    pcm: np.ndarray          # [B, frame_samples] f32
+    frame_index: int
+    active: np.ndarray       # [B] bool: stream still producing at this frame
+    eos_logits: np.ndarray   # [B]
+
+
+class StreamingSession:
+    """B lockstep streams emitting one 80 ms chunk per step."""
+
+    def __init__(self, engine, prefixes: List[np.ndarray], max_frames: int,
+                 params: "api.Params", eos_after: np.ndarray):
+        self.engine = engine
+        cfg = engine.flowlm_cfg
+        self.cfg = cfg
+        self.params = params
+        self.max_frames = max_frames
+        B = len(prefixes)
+        self.batch = B
+
+        lengths = np.array([len(p) for p in prefixes], np.int32)
+        T0 = int(lengths.max())
+        padded = np.zeros((B, T0, cfg.d_model), np.float32)
+        for b, p in enumerate(prefixes):
+            padded[b, : len(p)] = p
+
+        seed = params.seed if params.seed != -1 else int(time.time())
+        self._noise = np.stack(
+            [
+                frame_noise(seed + b, max_frames, cfg.latent_dim,
+                            temp=params.temp, noise_clamp=params.noise_clamp)
+                for b in range(B)
+            ]
+        )
+
+        cache = flowlm.make_cache(cfg, B, T0 + max_frames, engine.dtype)
+        self.cache, self.x = flowlm.prefill(
+            engine.fw, cache, jnp.asarray(padded, engine.dtype),
+            jnp.asarray(lengths), cfg
+        )
+        self.time_embs = flowlm.lsd_time_embeds(engine.fw, params.num_steps, cfg)
+        self.mimi_state = mimi_stream.init_state(
+            engine.mw, engine.mimi_cfg, B, engine.dtype
+        )
+        self.eos_step = jnp.full((B,), -1, jnp.int32)
+        self.done = jnp.zeros((B,), jnp.bool_)
+        self.eos_after = jnp.asarray(eos_after, jnp.int32)
+        self.frame = 0
+        self.frames_used = np.zeros(B, np.int64)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def start(cls, engine, texts: Sequence[str],
+              voices: Optional[Sequence[Optional[str]]] = None,
+              params: Optional["api.Params"] = None) -> "StreamingSession":
+        p = (params or api.Params()).normalized()
+        if voices is None:
+            voices = [None] * len(texts)
+        prefixes, frames, eos_afters = [], [], []
+        for text, voice in zip(texts, voices):
+            prepared, wc, eos_after_guess = prepare_text(text)
+            ids = engine.ctx.tokenize(prepared)
+            cond, _ = engine._voice_cond(voice)
+            prefixes.append(engine._build_prefix(ids, cond))
+            frames.append(p.num_frames if p.num_frames > 0 else estimate_frames(wc))
+            eos_afters.append(p.eos_after if p.eos_after > 0 else eos_after_guess)
+        return cls(engine, prefixes, max(frames), p,
+                   np.asarray(eos_afters, np.int32))
+
+    # -- stepping -------------------------------------------------------------
+
+    @property
+    def all_done(self) -> bool:
+        return self.frame >= self.max_frames or bool(np.all(np.asarray(self.done)))
+
+    def step(self) -> StreamChunk:
+        """Generate the next frame and decode its 80 ms of PCM."""
+        if self.all_done:
+            raise StopIteration
+        engine = self.engine
+        was_done = np.asarray(self.done).copy()
+        noise = jnp.asarray(self._noise[:, self.frame], engine.dtype)
+        (self.cache, self.x, scaled, eos, self.eos_step, self.done) = flow_frame_step(
+            engine.fw, self.cache, self.x, noise, self.time_embs,
+            jnp.int32(self.frame), self.eos_step, self.done,
+            self.cfg, bool(self.params.eos_enabled),
+            self.params.eos_threshold, self.params.eos_min_frames,
+            self.eos_after,
+        )
+        self.mimi_state, pcm = mimi_stream.decode_stream(
+            engine.mw, self.mimi_state, scaled[:, None, :], engine.mimi_cfg
+        )
+        active = ~was_done
+        self.frames_used += active.astype(np.int64)
+        chunk = StreamChunk(
+            pcm=np.asarray(pcm, np.float32),
+            frame_index=self.frame,
+            active=active,
+            eos_logits=np.asarray(eos, np.float32),
+        )
+        self.frame += 1
+        return chunk
+
+    def __iter__(self) -> Iterator[StreamChunk]:
+        while not self.all_done:
+            yield self.step()

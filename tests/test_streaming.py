@@ -1,0 +1,56 @@
+"""Streaming session == offline batch generation, chunk by chunk."""
+
+import numpy as np
+import pytest
+
+from helpers import TINY_FLOWLM, TINY_MIMI, assert_close, write_model_dir
+from ptts_tpu import api
+from ptts_tpu.runtime.streaming import StreamingSession
+
+
+@pytest.fixture(scope="module")
+def ctx(tmp_path_factory):
+    d = tmp_path_factory.mktemp("streammodel")
+    path, fw, mw = write_model_dir(d, seed=4)
+    return api.Context(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
+
+
+def test_streaming_matches_offline(ctx):
+    p = api.Params(num_frames=5, num_steps=1, seed=9, temp=0.6, eos_enabled=False)
+    texts = ["hello world", "how low"]
+
+    offline = ctx.engine.batch_generate(texts, params=p)
+
+    session = StreamingSession.start(ctx.engine, texts, params=p)
+    chunks = [c.pcm for c in session]
+    assert len(chunks) == 5
+    streamed = np.concatenate(chunks, axis=1)
+
+    for b, audio in enumerate(offline):
+        n = audio.num_samples
+        assert_close(streamed[b, :n], audio.samples, atol=2e-4, rtol=2e-4,
+                     msg=f"stream {b}")
+
+
+def test_streaming_chunk_shape_and_framecount(ctx):
+    p = api.Params(num_frames=3, num_steps=1, seed=1, temp=0.0, eos_enabled=False)
+    session = StreamingSession.start(ctx.engine, ["hello"], params=p)
+    chunk = session.step()
+    assert chunk.pcm.shape == (1, TINY_MIMI.frame_samples)
+    assert chunk.frame_index == 0
+    total = 1
+    for c in session:
+        total += 1
+    assert total == 3
+    assert session.frames_used[0] == 3
+
+
+def test_streaming_eos_stops_early(ctx):
+    # threshold -inf forces EOS at min_frames; eos_after=1 -> stops at frame 2
+    p = api.Params(num_frames=8, num_steps=1, seed=3, temp=0.4,
+                   eos_enabled=True, eos_threshold=-1e9,
+                   eos_min_frames=2, eos_after=1)
+    session = StreamingSession.start(ctx.engine, ["hello"], params=p)
+    chunks = list(session)
+    # eos fires at frame idx 1; stop after frame idx 2 -> 3 chunks emitted
+    assert len(chunks) == 3
