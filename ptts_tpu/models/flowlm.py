@@ -252,21 +252,13 @@ def _split_qkv(qkv: jnp.ndarray, H: int, D: int):
     return q.reshape(newshape), k.reshape(newshape), v.reshape(newshape)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def prefill(
+def prefill_kv(
     w: Weights,
-    cache: KVCache,
     x: jnp.ndarray,        # [B, T, d_model] prompt embeddings (padded)
     lengths: jnp.ndarray,  # [B] int32 valid positions
     cfg: FlowLMConfig,
-) -> Tuple[KVCache, jnp.ndarray]:
-    """Process the whole prompt in one causal pass, fill the cache, and return
-    the transformer output at each stream's last valid position [B, d_model].
-
-    Replaces the reference's sequential one-position prefill
-    (ptts_flowlm.c:1159-1185) with a single batched pass -- identical math,
-    MXU-shaped work.
-    """
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched causal prompt pass. Returns (k [L,B,T,H,D], v, last [B,d])."""
     B, T, d = x.shape
     H, D = cfg.num_heads, cfg.head_dim
     positions = jnp.arange(T)
@@ -288,6 +280,27 @@ def prefill(
 
     k_new = jnp.stack(k_layers)  # [L, B, T, H, D]
     v_new = jnp.stack(v_layers)
+    last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0, :]
+    return k_new, v_new, last
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def prefill(
+    w: Weights,
+    cache: KVCache,
+    x: jnp.ndarray,        # [B, T, d_model] prompt embeddings (padded)
+    lengths: jnp.ndarray,  # [B] int32 valid positions
+    cfg: FlowLMConfig,
+) -> Tuple[KVCache, jnp.ndarray]:
+    """Process the whole prompt in one causal pass, fill the cache, and return
+    the transformer output at each stream's last valid position [B, d_model].
+
+    Replaces the reference's sequential one-position prefill
+    (ptts_flowlm.c:1159-1185) with a single batched pass -- identical math,
+    MXU-shaped work.
+    """
+    B, T, d = x.shape
+    k_new, v_new, last = prefill_kv(w, x, lengths, cfg)
     Tmax = cache.max_len
     k_cache = jax.lax.dynamic_update_slice(
         cache.k, k_new.astype(cache.k.dtype), (0, 0, 0, 0, 0)
@@ -302,7 +315,6 @@ def prefill(
     v_cache = jnp.where(valid, v_cache, 0)
 
     new_cache = KVCache(k=k_cache, v=v_cache, length=lengths.astype(jnp.int32))
-    last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0, :]
     return new_cache, last
 
 

@@ -124,7 +124,9 @@ def ring_init(cfg: MimiConfig, batch: int, dtype) -> State:
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
-        "pos": jnp.zeros((), jnp.int32),  # positions processed so far (lockstep)
+        # per-stream positions processed so far (streams may be admitted at
+        # different times under continuous batching)
+        "pos": jnp.zeros((batch,), jnp.int32),
     }
 
 
@@ -132,7 +134,7 @@ def _ring_attention(
     q: jnp.ndarray,        # [B, Tc, H, D] (already rope'd)
     k_ring: jnp.ndarray,   # [B, RING, H, D]
     v_ring: jnp.ndarray,
-    pos0: jnp.ndarray,     # scalar: absolute position of q[0]
+    pos0: jnp.ndarray,     # [B]: absolute position of q[:, 0]
     Tc: int,
     context: int,
 ) -> jnp.ndarray:
@@ -145,13 +147,13 @@ def _ring_attention(
 
     # Absolute position stored in ring slot j: the latest p <= p_end with
     # p % R == j (slots older than R positions have been overwritten).
-    p_end = pos0 + Tc - 1
-    slots = jnp.arange(R)
-    key_abs = p_end - ((p_end - slots) % R)          # [R]
-    q_pos = pos0 + jnp.arange(Tc)                     # [Tc]
-    valid = (key_abs[None, :] >= 0) & (key_abs[None, :] <= q_pos[:, None])
-    valid &= (q_pos[:, None] - key_abs[None, :]) < context
-    scores = jnp.where(valid[None, None, :, :], scores, NEG_INF)
+    p_end = pos0[:, None] + Tc - 1                            # [B, 1]
+    slots = jnp.arange(R)[None, :]                            # [1, R]
+    key_abs = p_end - ((p_end - slots) % R)                   # [B, R]
+    q_pos = pos0[:, None] + jnp.arange(Tc)[None, :]           # [B, Tc]
+    valid = (key_abs[:, None, :] >= 0) & (key_abs[:, None, :] <= q_pos[:, :, None])
+    valid &= (q_pos[:, :, None] - key_abs[:, None, :]) < context
+    scores = jnp.where(valid[:, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_ring.dtype), v_ring,
                      preferred_element_type=jnp.float32)
@@ -164,9 +166,10 @@ def transformer_stream(
     """Process a chunk of Tc 200 Hz positions through the depth transformer."""
     B, Tc, d = x.shape
     H, D = cfg.num_heads, cfg.head_dim
-    pos0 = ring["pos"]
-    positions = pos0 + jnp.arange(Tc)
-    slots = (pos0 + jnp.arange(Tc)) % RING
+    pos0 = ring["pos"]                                   # [B]
+    positions = pos0[:, None] + jnp.arange(Tc)[None, :]  # [B, Tc]
+    slots = positions % RING                              # [B, Tc]
+    batch_idx = jnp.arange(B)[:, None]
 
     k_rings, v_rings = ring["k"], ring["v"]
     for l in range(cfg.num_layers):
@@ -176,10 +179,10 @@ def transformer_stream(
         q = qkv[..., :d].reshape(B, Tc, H, D)
         k = qkv[..., d : 2 * d].reshape(B, Tc, H, D)
         v = qkv[..., 2 * d :].reshape(B, Tc, H, D)
-        q, k = rope_rotate(q, k, positions[None, :], cfg.max_period)
+        q, k = rope_rotate(q, k, positions, cfg.max_period)
 
-        k_rings = k_rings.at[l].set(k_rings[l].at[:, slots].set(k))
-        v_rings = v_rings.at[l].set(v_rings[l].at[:, slots].set(v))
+        k_rings = k_rings.at[l].set(k_rings[l].at[batch_idx, slots].set(k))
+        v_rings = v_rings.at[l].set(v_rings[l].at[batch_idx, slots].set(v))
 
         attn = _ring_attention(q, k_rings[l], v_rings[l], pos0, Tc, cfg.context)
         add = jnp.einsum("bthd,ohd->bto", attn.reshape(B, Tc, H, D),

@@ -1,0 +1,274 @@
+"""Continuous batching: admit new utterances into freed KV slots.
+
+The serving loop keeps a fixed pool of B device-resident stream slots
+(FlowLM KV cache rows + streaming-Mimi state rows). Finished streams free
+their slot; queued requests are prefilled in fixed-size admit groups and
+scattered into the freed rows without touching the other streams. This is the
+"batched serving / continuous batching" item of SURVEY.md §7 step 8 -- the
+reference has nothing comparable (hardwired batch 1, ptts.c:328-333).
+
+Shapes stay static for jit: the pool is [B+1] rows where row B is a trash
+slot that absorbs padded admissions; admit groups are padded to
+``admit_chunk``; every frame step runs the full pool with done-masking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from collections import deque
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import api
+from ..config import FlowLMConfig
+from ..models import flowlm, mimi_stream
+from ..rng import frame_noise
+from ..text import estimate_frames, prepare_text
+from .streaming import flow_frame_step
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prefix: np.ndarray          # [T0, d_model]
+    noise: np.ndarray           # [max_frames, latent]
+    max_frames: int
+    eos_after: int
+
+
+@dataclasses.dataclass
+class Result:
+    rid: int
+    audio: np.ndarray           # concatenated PCM f32
+    frames: int
+
+
+def _zero_rows(tree, rows: jnp.ndarray):
+    """Zero the batch rows of every [B, ...] leaf of a state pytree."""
+    def z(x):
+        if x is None:
+            return None
+        return x.at[rows].set(jnp.zeros((rows.shape[0],) + x.shape[1:], x.dtype))
+
+    return jax.tree.map(z, tree, is_leaf=lambda x: x is None)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",),
+    donate_argnames=("cache", "x_all", "eos_step", "done", "frame_idx",
+                     "mimi_state"),
+)
+def admit_slots(
+    w,
+    cache: flowlm.KVCache,
+    x_all: jnp.ndarray,         # [B1, d]
+    eos_step: jnp.ndarray,      # [B1]
+    done: jnp.ndarray,          # [B1]
+    frame_idx: jnp.ndarray,     # [B1]
+    mimi_state,
+    slot_ids: jnp.ndarray,      # [n] target rows (trash row for padding)
+    prefix: jnp.ndarray,        # [n, T0, d]
+    lengths: jnp.ndarray,       # [n]
+    cfg: FlowLMConfig,
+):
+    """Prefill n new prompts and scatter their state into the pool rows."""
+    n, T0, d = prefix.shape
+    k_new, v_new, last = flowlm.prefill_kv(w, prefix, lengths, cfg)
+
+    # zero the full rows first (stale KV beyond T0 must not leak), then write
+    k = cache.k.at[:, slot_ids].set(0.0)
+    v = cache.v.at[:, slot_ids].set(0.0)
+    k = k.at[:, slot_ids, :T0].set(k_new.astype(k.dtype))
+    v = v.at[:, slot_ids, :T0].set(v_new.astype(v.dtype))
+    # mask padded prefix positions
+    t_idx = jnp.arange(T0)
+    valid = (t_idx[None, :] < lengths[:, None])[None, :, :, None, None]
+    k = k.at[:, slot_ids, :T0].set(jnp.where(valid, k[:, slot_ids, :T0], 0.0))
+    v = v.at[:, slot_ids, :T0].set(jnp.where(valid, v[:, slot_ids, :T0], 0.0))
+    length = cache.length.at[slot_ids].set(lengths.astype(jnp.int32))
+    cache = flowlm.KVCache(k=k, v=v, length=length)
+
+    x_all = x_all.at[slot_ids].set(last.astype(x_all.dtype))
+    eos_step = eos_step.at[slot_ids].set(-1)
+    done = done.at[slot_ids].set(False)
+    frame_idx = frame_idx.at[slot_ids].set(0)
+
+    mimi_state = {
+        "up": mimi_state["up"].at[slot_ids].set(0.0),
+        "ring": {
+            "k": mimi_state["ring"]["k"].at[:, slot_ids].set(0.0),
+            "v": mimi_state["ring"]["v"].at[:, slot_ids].set(0.0),
+            "pos": mimi_state["ring"]["pos"].at[slot_ids].set(0),
+        },
+        "dec_in": mimi_state["dec_in"].at[slot_ids].set(0.0),
+        "stages": [
+            {k2: st[k2].at[slot_ids].set(0.0) for k2 in st}
+            for st in mimi_state["stages"]
+        ],
+        "dec_out": mimi_state["dec_out"].at[slot_ids].set(0.0),
+    }
+    return cache, x_all, eos_step, done, frame_idx, mimi_state
+
+
+class ContinuousBatcher:
+    """Fixed-slot continuous batching server for one chip (or one mesh)."""
+
+    def __init__(self, engine, slots: int = 32, max_len: int = 512,
+                 admit_chunk: int = 8, prefix_bucket: int = 64):
+        self.engine = engine
+        self.cfg = engine.flowlm_cfg
+        self.slots = slots
+        self.B1 = slots + 1  # + trash row
+        self.trash = slots
+        self.max_len = max_len
+        self.admit_chunk = admit_chunk
+        self.prefix_bucket = prefix_bucket
+
+        dt = engine.dtype
+        cfg = self.cfg
+        self.cache = flowlm.make_cache(cfg, self.B1, max_len, dt)
+        self.x = jnp.zeros((self.B1, cfg.d_model), dt)
+        self.eos_step = jnp.full((self.B1,), -1, jnp.int32)
+        self.done = jnp.ones((self.B1,), jnp.bool_)  # all slots start free
+        self.frame_idx = jnp.zeros((self.B1,), jnp.int32)
+        self.mimi_state = mimi_stream.init_state(engine.mw, engine.mimi_cfg,
+                                                 self.B1, dt)
+        self.time_embs = None
+        self._params: Optional[api.Params] = None
+
+        self.slot_req: List[Optional[Request]] = [None] * slots
+        self.queue: deque[Request] = deque()
+        self.chunks: Dict[int, List[np.ndarray]] = {}
+        self.finished: Dict[int, Result] = {}
+        self._next_rid = 0
+        # host-side per-slot metadata
+        self._eos_after = np.zeros(self.B1, np.int32)
+        self._max_frames = np.full(self.B1, 1, np.int32)
+        self._noise: List[Optional[np.ndarray]] = [None] * self.B1
+
+    # -- submission ----------------------------------------------------------
+
+    def submit(self, text: str, voice: Optional[str] = None,
+               params: Optional[api.Params] = None) -> int:
+        p = (params or api.Params()).normalized()
+        if self._params is None:
+            self._params = p
+            self.time_embs = flowlm.lsd_time_embeds(
+                self.engine.fw, p.num_steps, self.cfg
+            )
+        prepared, wc, eos_after_guess = prepare_text(text)
+        ids = self.engine.ctx.tokenize(prepared)
+        cond, _ = self.engine._voice_cond(voice)
+        prefix = self.engine._build_prefix(ids, cond)
+        max_frames = p.num_frames if p.num_frames > 0 else estimate_frames(wc)
+        max_frames = min(max_frames, self.max_len - len(prefix) - 1)
+        seed = p.seed if p.seed != -1 else int(time.time())
+        rid = self._next_rid
+        self._next_rid += 1
+        self.queue.append(
+            Request(
+                rid=rid,
+                prefix=prefix,
+                noise=frame_noise(seed + rid, max_frames, self.cfg.latent_dim,
+                                  temp=p.temp, noise_clamp=p.noise_clamp),
+                max_frames=max_frames,
+                eos_after=p.eos_after if p.eos_after > 0 else eos_after_guess,
+            )
+        )
+        self.chunks[rid] = []
+        return rid
+
+    # -- serving loop ----------------------------------------------------------
+
+    def _admit(self) -> None:
+        free = [i for i in range(self.slots) if self.slot_req[i] is None]
+        while free and self.queue:
+            group: List[Tuple[int, Request]] = []
+            while free and self.queue and len(group) < self.admit_chunk:
+                group.append((free.pop(0), self.queue.popleft()))
+
+            n = self.admit_chunk
+            T0 = max(len(r.prefix) for _, r in group)
+            T0 = ((T0 + self.prefix_bucket - 1) // self.prefix_bucket) * self.prefix_bucket
+            T0 = min(T0, self.max_len)
+            prefix = np.zeros((n, T0, self.cfg.d_model), np.float32)
+            lengths = np.ones(n, np.int32)
+            slot_ids = np.full(n, self.trash, np.int32)
+            for j, (slot, req) in enumerate(group):
+                prefix[j, : len(req.prefix)] = req.prefix
+                lengths[j] = len(req.prefix)
+                slot_ids[j] = slot
+                self.slot_req[slot] = req
+                self._eos_after[slot] = req.eos_after
+                self._max_frames[slot] = req.max_frames
+                self._noise[slot] = req.noise
+
+            (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
+             self.mimi_state) = admit_slots(
+                self.engine.fw, self.cache, self.x, self.eos_step, self.done,
+                self.frame_idx, self.mimi_state,
+                jnp.asarray(slot_ids), jnp.asarray(prefix, self.engine.dtype),
+                jnp.asarray(lengths), self.cfg,
+            )
+
+    def _gather_noise(self) -> np.ndarray:
+        frame = np.asarray(self.frame_idx)
+        noise = np.zeros((self.B1, self.cfg.latent_dim), np.float32)
+        for slot in range(self.slots):
+            req = self.slot_req[slot]
+            if req is not None and frame[slot] < len(self._noise[slot]):
+                noise[slot] = self._noise[slot][frame[slot]]
+        return noise
+
+    def step(self) -> int:
+        """Admit + one frame for every active slot. Returns #active streams."""
+        self._admit()
+        active_slots = [i for i in range(self.slots) if self.slot_req[i] is not None]
+        if not active_slots:
+            return 0
+        p = self._params
+        engine = self.engine
+
+        was_done = np.asarray(self.done).copy()
+        noise = jnp.asarray(self._gather_noise(), engine.dtype)
+        (self.cache, self.x, scaled, eos, self.eos_step, self.done) = flow_frame_step(
+            engine.fw, self.cache, self.x, noise, self.time_embs,
+            self.frame_idx, self.eos_step, self.done,
+            self.cfg, bool(p.eos_enabled), p.eos_threshold, p.eos_min_frames,
+            jnp.asarray(self._eos_after), jnp.asarray(self._max_frames),
+        )
+        self.mimi_state, pcm = mimi_stream.decode_stream(
+            engine.mw, self.mimi_state, scaled[:, None, :], engine.mimi_cfg
+        )
+        self.frame_idx = self.frame_idx + 1
+
+        pcm_np = np.asarray(pcm, np.float32)
+        done_np = np.asarray(self.done)
+        for slot in active_slots:
+            req = self.slot_req[slot]
+            if not was_done[slot]:
+                self.chunks[req.rid].append(pcm_np[slot])
+            if done_np[slot]:
+                parts = self.chunks.pop(req.rid)
+                self.finished[req.rid] = Result(
+                    rid=req.rid,
+                    audio=np.concatenate(parts) if parts else np.zeros(0, np.float32),
+                    frames=len(parts),
+                )
+                self.slot_req[slot] = None
+                self._noise[slot] = None
+        return sum(1 for s in self.slot_req if s is not None)
+
+    def drain(self, max_steps: int = 100000) -> Dict[int, Result]:
+        steps = 0
+        while (self.queue or any(r is not None for r in self.slot_req)):
+            self.step()
+            steps += 1
+            if steps > max_steps:
+                raise RuntimeError("continuous batcher failed to drain")
+        return self.finished

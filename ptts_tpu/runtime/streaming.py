@@ -42,7 +42,7 @@ def flow_frame_step(
     x: jnp.ndarray,            # [B, d_model] transformer output at prev pos
     noise: jnp.ndarray,        # [B, latent]
     time_embs: jnp.ndarray,    # [S, flow_dim]
-    frame_idx: jnp.ndarray,    # scalar int32
+    frame_idx: jnp.ndarray,    # [B] or scalar int32 (per-stream frame counter)
     eos_step: jnp.ndarray,     # [B]
     done: jnp.ndarray,         # [B] bool
     cfg: FlowLMConfig,
@@ -50,6 +50,7 @@ def flow_frame_step(
     eos_threshold: float,
     eos_min_frames: int,
     eos_after: jnp.ndarray,    # [B]
+    max_frames: jnp.ndarray | None = None,  # [B] per-stream frame budget
 ):
     """One generation frame (mirrors the body of flowlm.generate_latents)."""
     normed = layernorm(x, w["out_norm_w"], w["out_norm_b"], cfg.ln_eps)
@@ -60,6 +61,8 @@ def flow_frame_step(
     latent, _ = flowlm.lsd_decode(w, normed, time_embs, noise, cfg)
     newly_done = (eos_step >= 0) & (frame_idx >= eos_step + eos_after)
     done = done | newly_done
+    if max_frames is not None:
+        done = done | (frame_idx + 1 >= max_frames)
 
     scaled = flowlm.scale_latents(w, latent)
     nxt = jnp.einsum("bi,oi->bo", latent, w["input_linear"],

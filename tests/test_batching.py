@@ -1,0 +1,65 @@
+"""Continuous batching: staggered admission must reproduce offline results."""
+
+import numpy as np
+import pytest
+
+from helpers import TINY_FLOWLM, TINY_MIMI, assert_close, write_model_dir
+from ptts_tpu import api
+from ptts_tpu.runtime.batching import ContinuousBatcher
+
+
+@pytest.fixture(scope="module")
+def ctx(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cbmodel")
+    path, fw, mw = write_model_dir(d, seed=6)
+    return api.Context(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
+
+
+def _offline(ctx, text, params):
+    return ctx.engine.generate(text, params=params)
+
+
+def test_single_request_matches_offline(ctx):
+    p = api.Params(num_frames=4, num_steps=1, seed=5, temp=0.5, eos_enabled=False)
+    batcher = ContinuousBatcher(ctx.engine, slots=4, max_len=96, admit_chunk=2)
+    rid = batcher.submit("hello world", params=p)
+    results = batcher.drain()
+    got = results[rid]
+
+    # offline reference with the same per-request noise stream (seed + rid)
+    p_off = api.Params(**{**p.__dict__, "seed": p.seed + rid})
+    want = _offline(ctx, "hello world", p_off)
+    assert got.frames == 4
+    assert_close(got.audio, want.samples, atol=2e-4, rtol=2e-4)
+
+
+def test_staggered_admission_matches_offline(ctx):
+    """More requests than slots; late admissions into freed rows must not
+    perturb in-flight streams and must match their own offline runs."""
+    p = api.Params(num_frames=3, num_steps=1, seed=100, temp=0.4,
+                   eos_enabled=False)
+    texts = ["hello world", "how low", "hello hello", "world world", "who who"]
+    batcher = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=2)
+    rids = [batcher.submit(t, params=p) for t in texts]
+    results = batcher.drain()
+    assert set(results.keys()) == set(rids)
+
+    for rid, text in zip(rids, texts):
+        p_off = api.Params(**{**p.__dict__, "seed": p.seed + rid})
+        want = _offline(ctx, text, p_off)
+        got = results[rid]
+        assert got.audio.shape == want.samples.shape, text
+        assert_close(got.audio, want.samples, atol=3e-4, rtol=3e-4, msg=text)
+
+
+def test_eos_frees_slots(ctx):
+    p = api.Params(num_frames=6, num_steps=1, seed=2, temp=0.3,
+                   eos_enabled=True, eos_threshold=-1e9,
+                   eos_min_frames=2, eos_after=1)
+    batcher = ContinuousBatcher(ctx.engine, slots=1, max_len=96, admit_chunk=1)
+    r0 = batcher.submit("hello", params=p)
+    r1 = batcher.submit("world", params=p)
+    results = batcher.drain()
+    # eos at frame 1, stop after frame 2 -> 3 frames each
+    assert results[r0].frames == 3
+    assert results[r1].frames == 3
