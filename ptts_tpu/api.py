@@ -31,6 +31,7 @@ from .config import DEFAULT_FLOWLM, DEFAULT_MIMI, FlowLMConfig, MimiConfig
 from .io.safetensors import SafetensorsFile
 from .io.wav import Audio, audio_create, save_wav
 from .text import estimate_frames, prepare_text
+from .tokenizer import load_tokenizer
 from .tokenizer.spm import SentencePieceModel
 from .verify import VerifyReport, verify_weights
 
@@ -185,10 +186,10 @@ class Context:
         self.sample_rate = DEFAULT_SAMPLE_RATE
 
         self.tokenizer_path = find_tokenizer_file(model_dir)
-        self.tokenizer: Optional[SentencePieceModel] = None
+        self.tokenizer = None  # NativeTokenizer or SentencePieceModel
         if self.tokenizer_path:
             try:
-                self.tokenizer = SentencePieceModel.load(self.tokenizer_path)
+                self.tokenizer = load_tokenizer(self.tokenizer_path)
             except (ValueError, OSError):
                 self.tokenizer_path = None
 
