@@ -29,11 +29,48 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FlowLMConfig
+from ..config import FlowLMConfig, KernelFlags
 from ..ops.activations import gelu_erf, silu
 from ..ops.attention import causal_attention, decode_attention
 from ..ops.norms import kyutai_rmsnorm, layernorm
 from ..ops.rope import rope_rotate
+
+DEFAULT_FLAGS = KernelFlags()
+
+
+def _pick_block_b(batch: int) -> int:
+    for bb in (8, 4, 2, 1):
+        if batch % bb == 0:
+            return bb
+    return 1
+
+
+def _decode_attention_dispatch(q, k_cache, v_cache, lengths,
+                               flags: KernelFlags):
+    """XLA vs Pallas decode attention, with optional validate mode that runs
+    both and prints the maxdiff (the reference's PTTS_CUDA_VALIDATE pattern,
+    ptts_flowlm.c:527-552)."""
+    use_pallas = flags.use_pallas_decode_attention
+    Tmax = k_cache.shape[1]
+    if use_pallas and Tmax % 128 != 0:
+        use_pallas = False  # kernel requires whole T blocks
+    if not use_pallas and not flags.validate:
+        return decode_attention(q, k_cache, v_cache, lengths)
+
+    from .pallas_compat import pallas_decode_attention
+
+    if flags.validate:
+        a = decode_attention(q, k_cache, v_cache, lengths)
+        if use_pallas:
+            b = pallas_decode_attention(q, k_cache, v_cache, lengths,
+                                        block_b=_pick_block_b(q.shape[0]))
+            jax.debug.print(
+                "[ptts] validate decode_attention maxdiff={d}",
+                d=jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))),
+            )
+        return a
+    return pallas_decode_attention(q, k_cache, v_cache, lengths,
+                                   block_b=_pick_block_b(q.shape[0]))
 
 Weights = Dict[str, Any]
 
@@ -323,6 +360,7 @@ def decode_step(
     cache: KVCache,
     x: jnp.ndarray,  # [B, d_model]
     cfg: FlowLMConfig,
+    flags: KernelFlags = DEFAULT_FLAGS,
 ) -> Tuple[KVCache, jnp.ndarray]:
     """One KV-cached transformer step for B streams at their own positions.
 
@@ -345,7 +383,8 @@ def decode_step(
         k_cache = k_cache.at[l, batch_idx, pos].set(k.astype(k_cache.dtype))
         v_cache = v_cache.at[l, batch_idx, pos].set(v.astype(v_cache.dtype))
 
-        attn = decode_attention(q, k_cache[l], v_cache[l], pos + 1)
+        attn = _decode_attention_dispatch(q, k_cache[l], v_cache[l], pos + 1,
+                                          flags)
         x = x + _linear(w["out_proj"][l], None, attn.reshape(B, d))
         xn = layernorm(x, w["norm2_w"][l], w["norm2_b"][l], cfg.ln_eps)
         ff = gelu_erf(_linear(w["linear1"][l], None, xn))
@@ -466,7 +505,7 @@ def eos_logit(w: Weights, normed: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_frames", "num_steps", "eos_enabled"),
+    static_argnames=("cfg", "max_frames", "num_steps", "eos_enabled", "flags"),
     donate_argnames=("cache",),
 )
 def generate_latents(
@@ -481,6 +520,7 @@ def generate_latents(
     eos_threshold: float = -4.0,
     eos_min_frames: int = 1,
     eos_after: jnp.ndarray | int = 0,
+    flags: KernelFlags = DEFAULT_FLAGS,
 ) -> GenResult:
     """Per-frame loop as one lax.scan: out_norm -> EOS -> LSD -> input_linear
     -> KV decode step. Mirrors ptts_flowlm_generate_latents
@@ -513,7 +553,7 @@ def generate_latents(
         done = done | newly_done
 
         nxt = _linear(w["input_linear"], None, latent)
-        cache, x = decode_step(w, cache, nxt, cfg)
+        cache, x = decode_step(w, cache, nxt, cfg, flags)
 
         carry = (cache, x, eos_step, done, used, first_cond, first_flow0)
         return carry, (latent, eos)

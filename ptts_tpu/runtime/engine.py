@@ -18,6 +18,7 @@ Noise: params-driven parity path uses the host xorshift64*/Box-Muller RNG
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import List, Optional, Sequence, Tuple
 
@@ -25,7 +26,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FlowLMConfig, MimiConfig
+from ..config import FlowLMConfig, KernelFlags, MimiConfig
+
+
+def flags_from_env() -> KernelFlags:
+    """Env-var kernel switches, the reference's PTTS_CUDA_* pattern
+    (ptts_kernels.c:42-67): PTTS_PALLAS_ATTN=1 enables the Pallas decode
+    kernel; PTTS_VALIDATE=1 runs both paths and prints maxdiffs."""
+    return KernelFlags(
+        use_pallas_decode_attention=os.environ.get("PTTS_PALLAS_ATTN", "0") == "1",
+        validate=os.environ.get("PTTS_VALIDATE", "0") == "1",
+    )
 from ..io.wav import Audio
 from ..models import flowlm, mimi
 from ..rng import frame_noise
@@ -52,13 +63,15 @@ class GenerateOutput:
 
 class TTSEngine:
     def __init__(self, ctx: "api.Context", dtype=jnp.float32,
-                 prefix_bucket: int = 64, frame_bucket: int = 64):
+                 prefix_bucket: int = 64, frame_bucket: int = 64,
+                 flags: Optional[KernelFlags] = None):
         self.ctx = ctx
         self.flowlm_cfg = ctx.flowlm_cfg
         self.mimi_cfg = ctx.mimi_cfg
         self.dtype = dtype
         self.prefix_bucket = prefix_bucket
         self.frame_bucket = frame_bucket
+        self.flags = flags if flags is not None else flags_from_env()
 
         fw_host = flowlm.load_weights(ctx.weights, self.flowlm_cfg)
         mw_host = mimi.load_weights(ctx.weights, self.mimi_cfg)
@@ -148,6 +161,7 @@ class TTSEngine:
             eos_after=jnp.asarray(
                 eos_after if eos_after is not None else params.eos_after, jnp.int32
             ),
+            flags=self.flags,
         )
         # cap frames_used at the caller's true max (bucketing may exceed it)
         capped = jnp.minimum(res.frames_used, max_frames)
