@@ -45,31 +45,34 @@ def _pick_block_b(batch: int) -> int:
     return 1
 
 
-def _decode_attention_dispatch(q, k_cache, v_cache, lengths,
+def _decode_attention_dispatch(q, k_cache, v_cache, mask, scalars,
                                flags: KernelFlags):
     """XLA vs Pallas decode attention, with optional validate mode that runs
     both and prints the maxdiff (the reference's PTTS_CUDA_VALIDATE pattern,
-    ptts_flowlm.c:527-552)."""
+    ptts_flowlm.c:527-552). ``scalars`` = (prefix_len [B], start [B], cursor)
+    for the Pallas kernel's block skipping."""
+    from ..ops.attention import decode_attention_masked
+
     use_pallas = flags.use_pallas_decode_attention
     Tmax = k_cache.shape[1]
     if use_pallas and Tmax % 128 != 0:
         use_pallas = False  # kernel requires whole T blocks
     if not use_pallas and not flags.validate:
-        return decode_attention(q, k_cache, v_cache, lengths)
+        return decode_attention_masked(q, k_cache, v_cache, mask)
 
     from .pallas_compat import pallas_decode_attention
 
     if flags.validate:
-        a = decode_attention(q, k_cache, v_cache, lengths)
+        a = decode_attention_masked(q, k_cache, v_cache, mask)
         if use_pallas:
-            b = pallas_decode_attention(q, k_cache, v_cache, lengths,
+            b = pallas_decode_attention(q, k_cache, v_cache, *scalars,
                                         block_b=_pick_block_b(q.shape[0]))
             jax.debug.print(
                 "[ptts] validate decode_attention maxdiff={d}",
                 d=jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))),
             )
         return a
-    return pallas_decode_attention(q, k_cache, v_cache, lengths,
+    return pallas_decode_attention(q, k_cache, v_cache, *scalars,
                                    block_b=_pick_block_b(q.shape[0]))
 
 Weights = Dict[str, Any]
@@ -259,15 +262,46 @@ def _linear(w: jnp.ndarray, b, x: jnp.ndarray) -> jnp.ndarray:
 class KVCache(NamedTuple):
     """Batched per-layer KV cache: the device-resident analogue of the
     reference's ptts_flowlm_kv_cache / CUDA ensure_kv_cache
-    (ptts_flowlm.c:390-438, ptts_cuda.c:582-605)."""
+    (ptts_flowlm.c:390-438, ptts_cuda.c:582-605).
 
-    k: jnp.ndarray        # [L, B, Tmax, H, D]
-    v: jnp.ndarray        # [L, B, Tmax, H, D]
-    length: jnp.ndarray   # [B] int32 -- valid entries per stream
+    Layout is cursor-aligned: every stream's step-i key lands in the SAME
+    column (``cursor``), so the per-step write is one dynamic_update_slice
+    (in-place under donation) instead of a per-stream scatter -- measured
+    1.8x faster at Tmax=128 and 24x at Tmax=512 on v5e. Per-stream validity
+    needs only two scalars:
+
+        valid(t) = t < prefix_len[b]            (the prompt columns)
+                 | start[b] <= t < cursor       (the decode columns)
+
+    ``start`` is the cursor value when the stream was (re)admitted; the gap
+    [prefix_len, start) is masked, which is exactly what continuous batching
+    needs when a freed slot is reused mid-flight (runtime/batching.py).
+    The next token's RoPE position is prefix_len + (cursor - start).
+    """
+
+    k: jnp.ndarray           # [L, B, Tmax, H, D]
+    v: jnp.ndarray           # [L, B, Tmax, H, D]
+    prefix_len: jnp.ndarray  # [B] int32
+    start: jnp.ndarray       # [B] int32
+    cursor: jnp.ndarray      # scalar int32 -- next write column (shared)
 
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
+
+    @property
+    def pos(self) -> jnp.ndarray:
+        """[B] per-stream token position of the next write."""
+        return self.prefix_len + (self.cursor - self.start)
+
+    def valid_mask(self, through_cursor: bool = True) -> jnp.ndarray:
+        """[B, Tmax] bool key-validity mask (incl. column ``cursor`` when
+        ``through_cursor``, i.e. after the current step's write)."""
+        t = jnp.arange(self.max_len)[None, :]
+        hi = self.cursor + 1 if through_cursor else self.cursor
+        return (t < self.prefix_len[:, None]) | (
+            (t >= self.start[:, None]) & (t < hi)
+        )
 
 
 def make_cache(cfg: FlowLMConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
@@ -275,7 +309,9 @@ def make_cache(cfg: FlowLMConfig, batch: int, max_len: int, dtype=jnp.float32) -
     return KVCache(
         k=jnp.zeros(shape, dtype=dtype),
         v=jnp.zeros(shape, dtype=dtype),
-        length=jnp.zeros(batch, dtype=jnp.int32),
+        prefix_len=jnp.zeros(batch, dtype=jnp.int32),
+        start=jnp.zeros(batch, dtype=jnp.int32),
+        cursor=jnp.zeros((), dtype=jnp.int32),
     )
 
 
@@ -338,20 +374,19 @@ def prefill(
     """
     B, T, d = x.shape
     k_new, v_new, last = prefill_kv(w, x, lengths, cfg)
-    Tmax = cache.max_len
     k_cache = jax.lax.dynamic_update_slice(
         cache.k, k_new.astype(cache.k.dtype), (0, 0, 0, 0, 0)
     )
     v_cache = jax.lax.dynamic_update_slice(
         cache.v, v_new.astype(cache.v.dtype), (0, 0, 0, 0, 0)
     )
-    # Zero the padded tail so masked attention stays exact even if lengths<T.
-    t_idx = jnp.arange(Tmax)
-    valid = (t_idx[None, :] < lengths[:, None])[None, :, :, None, None]
-    k_cache = jnp.where(valid, k_cache, 0)
-    v_cache = jnp.where(valid, v_cache, 0)
-
-    new_cache = KVCache(k=k_cache, v=v_cache, length=lengths.astype(jnp.int32))
+    new_cache = KVCache(
+        k=k_cache,
+        v=v_cache,
+        prefix_len=lengths.astype(jnp.int32),
+        start=jnp.full((B,), T, jnp.int32),
+        cursor=jnp.asarray(T, jnp.int32),
+    )
     return new_cache, last
 
 
@@ -365,14 +400,16 @@ def decode_step(
     """One KV-cached transformer step for B streams at their own positions.
 
     Mirrors transformer_forward_step_cached (ptts_flowlm.c:440-566) but
-    batched: the per-layer GEMVs become [B, d] x [d, 3d] MXU matmuls.
+    batched, and the per-step KV write is a single dynamic_update_slice at
+    the shared cursor column (see KVCache docstring).
     """
     B, d = x.shape
     H, D = cfg.num_heads, cfg.head_dim
-    pos = cache.length  # [B]
+    pos = cache.pos          # [B] per-stream RoPE position
+    cursor = cache.cursor    # scalar write column
     k_cache, v_cache = cache.k, cache.v
+    mask = cache.valid_mask(through_cursor=True)  # [B, Tmax]
 
-    batch_idx = jnp.arange(B)
     for l in range(cfg.num_layers):
         xn = layernorm(x, w["norm1_w"][l], w["norm1_b"][l], cfg.ln_eps)
         qkv = _linear(w["in_proj"][l], None, xn)
@@ -380,17 +417,23 @@ def decode_step(
         q, k = rope_rotate(q[:, None], k[:, None], pos[:, None], cfg.max_period)
         q, k = q[:, 0], k[:, 0]
 
-        k_cache = k_cache.at[l, batch_idx, pos].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[l, batch_idx, pos].set(v.astype(v_cache.dtype))
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype)[None, :, None], (l, 0, cursor, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype)[None, :, None], (l, 0, cursor, 0, 0)
+        )
 
-        attn = _decode_attention_dispatch(q, k_cache[l], v_cache[l], pos + 1,
-                                          flags)
+        attn = _decode_attention_dispatch(
+            q, k_cache[l], v_cache[l], mask,
+            (cache.prefix_len, cache.start, cursor), flags,
+        )
         x = x + _linear(w["out_proj"][l], None, attn.reshape(B, d))
         xn = layernorm(x, w["norm2_w"][l], w["norm2_b"][l], cfg.ln_eps)
         ff = gelu_erf(_linear(w["linear1"][l], None, xn))
         x = x + _linear(w["linear2"][l], None, ff)
 
-    new_cache = KVCache(k=k_cache, v=v_cache, length=pos + 1)
+    new_cache = cache._replace(k=k_cache, v=v_cache, cursor=cursor + 1)
     return new_cache, x
 
 

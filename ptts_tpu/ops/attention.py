@@ -61,6 +61,30 @@ def causal_attention(
     return out.astype(q.dtype)
 
 
+def decode_attention_masked(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-query attention over a KV cache with an explicit validity mask.
+
+    q: [B, H, D]; k_cache/v_cache: [B, Tmax, H, D]; mask: [B, Tmax] bool.
+    Returns [B, H, D].
+
+    TPU analogue of the reference CUDA attn_step kernel
+    (/root/reference/ptts_cuda.c:1755-1799) — but batched over B streams so
+    the MXU sees real matmul shapes instead of one query.
+    """
+    scores = jnp.einsum("bhd,bthd->bht", q, k_cache,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / jnp.sqrt(jnp.float32(q.shape[-1])))
+    probs = _masked_softmax(scores, mask[:, None, :])
+    out = jnp.einsum("bht,bthd->bhd", probs.astype(v_cache.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def decode_attention(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,
@@ -69,26 +93,10 @@ def decode_attention(
     *,
     context: int = 0,
 ) -> jnp.ndarray:
-    """Single-query attention over a KV cache with per-stream lengths.
-
-    q: [B, H, D]; k_cache/v_cache: [B, Tmax, H, D]; lengths: [B] — the number
-    of valid cache entries per stream *including* the current position (the
-    new K/V must already be written at index lengths-1).
-    Returns [B, H, D].
-
-    TPU analogue of the reference CUDA attn_step kernel
-    (/root/reference/ptts_cuda.c:1755-1799) — but batched over B streams so
-    the MXU sees [B*H, D] x [D, T] shaped work instead of one query.
-    """
-    B, Tmax, H, D = k_cache.shape
-    scale = 1.0 / jnp.sqrt(jnp.float32(D))
-    scores = jnp.einsum("bhd,bthd->bht", q, k_cache,
-                        preferred_element_type=jnp.float32) * scale
+    """decode_attention_masked with a per-stream-length (+ window) mask."""
+    Tmax = k_cache.shape[1]
     t = jnp.arange(Tmax)[None, :]          # [1, T]
     mask = t < lengths[:, None]            # [B, T]
     if context > 0:
         mask &= (lengths[:, None] - 1 - t) < context
-    probs = _masked_softmax(scores, mask[:, None, :])
-    out = jnp.einsum("bht,bthd->bhd", probs.astype(v_cache.dtype), v_cache,
-                     preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    return decode_attention_masked(q, k_cache, v_cache, mask)

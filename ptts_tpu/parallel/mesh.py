@@ -56,14 +56,16 @@ def shard_batch_array(mesh: Mesh, x, batch_dim: int = 0):
 
 
 def shard_cache(mesh: Mesh, cache):
-    """Shard a flowlm.KVCache: k/v are [L, B, T, H, D] (B at dim 1),
-    length is [B] (dim 0)."""
+    """Shard a flowlm.KVCache: k/v are [L, B, T, H, D] (B at dim 1);
+    per-stream scalars are [B]; the cursor is replicated."""
     from ..models.flowlm import KVCache
 
     return KVCache(
         k=shard_batch_array(mesh, cache.k, batch_dim=1),
         v=shard_batch_array(mesh, cache.v, batch_dim=1),
-        length=shard_batch_array(mesh, cache.length, batch_dim=0),
+        prefix_len=shard_batch_array(mesh, cache.prefix_len, batch_dim=0),
+        start=shard_batch_array(mesh, cache.start, batch_dim=0),
+        cursor=jax.device_put(cache.cursor, replicated(mesh)),
     )
 
 

@@ -7,6 +7,13 @@ scattered into the freed rows without touching the other streams. This is the
 "batched serving / continuous batching" item of SURVEY.md §7 step 8 -- the
 reference has nothing comparable (hardwired batch 1, ptts.c:328-333).
 
+Cache geometry (see models/flowlm.KVCache): columns [0, prefix_budget) hold
+each slot's prompt K/V; decode columns grow from the shared cursor, so a slot
+admitted mid-flight simply gets start = cursor and its gap is masked. When
+the cursor reaches Tmax the cache is compacted by right-aligning every
+stream's decode columns against a fresh cursor -- one gather pass, amortized
+over hundreds of steps.
+
 Shapes stay static for jit: the pool is [B+1] rows where row B is a trash
 slot that absorbs padded admissions; admit groups are padded to
 ``admit_chunk``; every frame step runs the full pool with done-masking.
@@ -48,16 +55,6 @@ class Result:
     frames: int
 
 
-def _zero_rows(tree, rows: jnp.ndarray):
-    """Zero the batch rows of every [B, ...] leaf of a state pytree."""
-    def z(x):
-        if x is None:
-            return None
-        return x.at[rows].set(jnp.zeros((rows.shape[0],) + x.shape[1:], x.dtype))
-
-    return jax.tree.map(z, tree, is_leaf=lambda x: x is None)
-
-
 @functools.partial(
     jax.jit, static_argnames=("cfg",),
     donate_argnames=("cache", "x_all", "eos_step", "done", "frame_idx",
@@ -72,26 +69,26 @@ def admit_slots(
     frame_idx: jnp.ndarray,     # [B1]
     mimi_state,
     slot_ids: jnp.ndarray,      # [n] target rows (trash row for padding)
-    prefix: jnp.ndarray,        # [n, T0, d]
+    prefix: jnp.ndarray,        # [n, T0, d] back-padded prompts
     lengths: jnp.ndarray,       # [n]
     cfg: FlowLMConfig,
 ):
-    """Prefill n new prompts and scatter their state into the pool rows."""
+    """Prefill n new prompts and scatter their state into the pool rows.
+
+    New prompts' K/V go to prefix columns [0, T0); their decode region begins
+    at the current shared cursor (cache.start[slot] = cache.cursor).
+    """
     n, T0, d = prefix.shape
     k_new, v_new, last = flowlm.prefill_kv(w, prefix, lengths, cfg)
 
-    # zero the full rows first (stale KV beyond T0 must not leak), then write
-    k = cache.k.at[:, slot_ids].set(0.0)
-    v = cache.v.at[:, slot_ids].set(0.0)
-    k = k.at[:, slot_ids, :T0].set(k_new.astype(k.dtype))
-    v = v.at[:, slot_ids, :T0].set(v_new.astype(v.dtype))
-    # mask padded prefix positions
-    t_idx = jnp.arange(T0)
-    valid = (t_idx[None, :] < lengths[:, None])[None, :, :, None, None]
-    k = k.at[:, slot_ids, :T0].set(jnp.where(valid, k[:, slot_ids, :T0], 0.0))
-    v = v.at[:, slot_ids, :T0].set(jnp.where(valid, v[:, slot_ids, :T0], 0.0))
-    length = cache.length.at[slot_ids].set(lengths.astype(jnp.int32))
-    cache = flowlm.KVCache(k=k, v=v, length=length)
+    k = cache.k.at[:, slot_ids, :T0].set(k_new.astype(cache.k.dtype))
+    v = cache.v.at[:, slot_ids, :T0].set(v_new.astype(cache.v.dtype))
+    cache = cache._replace(
+        k=k,
+        v=v,
+        prefix_len=cache.prefix_len.at[slot_ids].set(lengths.astype(jnp.int32)),
+        start=cache.start.at[slot_ids].set(cache.cursor),
+    )
 
     x_all = x_all.at[slot_ids].set(last.astype(x_all.dtype))
     eos_step = eos_step.at[slot_ids].set(-1)
@@ -115,11 +112,39 @@ def admit_slots(
     return cache, x_all, eos_step, done, frame_idx, mimi_state
 
 
+@functools.partial(jax.jit, static_argnames=("prefix_budget",),
+                   donate_argnames=("cache",))
+def compact_cache(cache: flowlm.KVCache, prefix_budget: int) -> flowlm.KVCache:
+    """Right-align every stream's decode columns against a fresh cursor.
+
+    Stream b's decode region [start_b, cursor) (n_b columns) moves to
+    [new_cursor - n_b, new_cursor) with new_cursor = prefix_budget + max n_b.
+    The validity invariant (prefix | [start, cursor)) is preserved, so this is
+    transparent to attention. One gather over the cache; run when the cursor
+    nears Tmax.
+    """
+    L, B, Tmax, H, D = cache.k.shape
+    n = cache.cursor - cache.start                   # [B] decode cols per stream
+    new_cursor = prefix_budget + jnp.max(n)
+    new_start = new_cursor - n                        # [B]
+
+    t = jnp.arange(Tmax)[None, :]                     # [1, T]
+    src = t - new_start[:, None] + cache.start[:, None]
+    in_decode = (t >= new_start[:, None]) & (t < new_cursor)
+    src = jnp.where(in_decode, src, t)                # identity elsewhere
+    src = jnp.clip(src, 0, Tmax - 1)
+
+    idx = src[None, :, :, None, None]
+    k = jnp.take_along_axis(cache.k, jnp.broadcast_to(idx, cache.k.shape), axis=2)
+    v = jnp.take_along_axis(cache.v, jnp.broadcast_to(idx, cache.v.shape), axis=2)
+    return cache._replace(k=k, v=v, start=new_start, cursor=new_cursor)
+
+
 class ContinuousBatcher:
     """Fixed-slot continuous batching server for one chip (or one mesh)."""
 
     def __init__(self, engine, slots: int = 32, max_len: int = 512,
-                 admit_chunk: int = 8, prefix_bucket: int = 64):
+                 admit_chunk: int = 8, prefix_budget: int = 128):
         self.engine = engine
         self.cfg = engine.flowlm_cfg
         self.slots = slots
@@ -127,11 +152,17 @@ class ContinuousBatcher:
         self.trash = slots
         self.max_len = max_len
         self.admit_chunk = admit_chunk
-        self.prefix_bucket = prefix_bucket
+        self.prefix_budget = prefix_budget
+        assert prefix_budget < max_len
 
         dt = engine.dtype
         cfg = self.cfg
         self.cache = flowlm.make_cache(cfg, self.B1, max_len, dt)
+        # decode columns start after the prefix region
+        self.cache = self.cache._replace(
+            cursor=jnp.asarray(prefix_budget, jnp.int32),
+            start=jnp.full((self.B1,), prefix_budget, jnp.int32),
+        )
         self.x = jnp.zeros((self.B1, cfg.d_model), dt)
         self.eos_step = jnp.full((self.B1,), -1, jnp.int32)
         self.done = jnp.ones((self.B1,), jnp.bool_)  # all slots start free
@@ -146,7 +177,6 @@ class ContinuousBatcher:
         self.chunks: Dict[int, List[np.ndarray]] = {}
         self.finished: Dict[int, Result] = {}
         self._next_rid = 0
-        # host-side per-slot metadata
         self._eos_after = np.zeros(self.B1, np.int32)
         self._max_frames = np.full(self.B1, 1, np.int32)
         self._noise: List[Optional[np.ndarray]] = [None] * self.B1
@@ -165,8 +195,12 @@ class ContinuousBatcher:
         ids = self.engine.ctx.tokenize(prepared)
         cond, _ = self.engine._voice_cond(voice)
         prefix = self.engine._build_prefix(ids, cond)
+        if len(prefix) > self.prefix_budget:
+            raise api.PttsError(
+                f"prompt needs {len(prefix)} prefix columns > budget "
+                f"{self.prefix_budget}"
+            )
         max_frames = p.num_frames if p.num_frames > 0 else estimate_frames(wc)
-        max_frames = min(max_frames, self.max_len - len(prefix) - 1)
         seed = p.seed if p.seed != -1 else int(time.time())
         rid = self._next_rid
         self._next_rid += 1
@@ -193,9 +227,7 @@ class ContinuousBatcher:
                 group.append((free.pop(0), self.queue.popleft()))
 
             n = self.admit_chunk
-            T0 = max(len(r.prefix) for _, r in group)
-            T0 = ((T0 + self.prefix_bucket - 1) // self.prefix_bucket) * self.prefix_bucket
-            T0 = min(T0, self.max_len)
+            T0 = self.prefix_budget
             prefix = np.zeros((n, T0, self.cfg.d_model), np.float32)
             lengths = np.ones(n, np.int32)
             slot_ids = np.full(n, self.trash, np.int32)
@@ -231,6 +263,12 @@ class ContinuousBatcher:
         active_slots = [i for i in range(self.slots) if self.slot_req[i] is not None]
         if not active_slots:
             return 0
+        if int(self.cache.cursor) >= self.max_len:
+            self.cache = compact_cache(self.cache, self.prefix_budget)
+            if int(self.cache.cursor) >= self.max_len:
+                raise api.PttsError(
+                    "cache exhausted even after compaction; raise max_len"
+                )
         p = self._params
         engine = self.engine
 

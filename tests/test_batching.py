@@ -21,7 +21,7 @@ def _offline(ctx, text, params):
 
 def test_single_request_matches_offline(ctx):
     p = api.Params(num_frames=4, num_steps=1, seed=5, temp=0.5, eos_enabled=False)
-    batcher = ContinuousBatcher(ctx.engine, slots=4, max_len=96, admit_chunk=2)
+    batcher = ContinuousBatcher(ctx.engine, slots=4, max_len=96, admit_chunk=2, prefix_budget=32)
     rid = batcher.submit("hello world", params=p)
     results = batcher.drain()
     got = results[rid]
@@ -39,7 +39,7 @@ def test_staggered_admission_matches_offline(ctx):
     p = api.Params(num_frames=3, num_steps=1, seed=100, temp=0.4,
                    eos_enabled=False)
     texts = ["hello world", "how low", "hello hello", "world world", "who who"]
-    batcher = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=2)
+    batcher = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=2, prefix_budget=32)
     rids = [batcher.submit(t, params=p) for t in texts]
     results = batcher.drain()
     assert set(results.keys()) == set(rids)
@@ -56,10 +56,29 @@ def test_eos_frees_slots(ctx):
     p = api.Params(num_frames=6, num_steps=1, seed=2, temp=0.3,
                    eos_enabled=True, eos_threshold=-1e9,
                    eos_min_frames=2, eos_after=1)
-    batcher = ContinuousBatcher(ctx.engine, slots=1, max_len=96, admit_chunk=1)
+    batcher = ContinuousBatcher(ctx.engine, slots=1, max_len=96, admit_chunk=1, prefix_budget=32)
     r0 = batcher.submit("hello", params=p)
     r1 = batcher.submit("world", params=p)
     results = batcher.drain()
     # eos at frame 1, stop after frame 2 -> 3 frames each
     assert results[r0].frames == 3
     assert results[r1].frames == 3
+
+
+def test_cache_compaction(ctx):
+    """Force cursor exhaustion so compact_cache runs mid-stream; outputs must
+    still match offline generation exactly."""
+    # max_len 48, prefix_budget 32 -> only 16 decode columns; 8 frames per
+    # request with 2 sequential requests forces a compaction.
+    p = api.Params(num_frames=8, num_steps=1, seed=41, temp=0.4,
+                   eos_enabled=False)
+    batcher = ContinuousBatcher(ctx.engine, slots=2, max_len=48,
+                                admit_chunk=2, prefix_budget=32)
+    texts = ["hello world", "how low", "world world"]
+    rids = [batcher.submit(t, params=p) for t in texts]
+    results = batcher.drain()
+    for rid, text in zip(rids, texts):
+        p_off = api.Params(**{**p.__dict__, "seed": p.seed + rid})
+        want = _offline(ctx, text, p_off)
+        assert_close(results[rid].audio, want.samples, atol=3e-4, rtol=3e-4,
+                     msg=text)

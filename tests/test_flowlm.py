@@ -41,7 +41,9 @@ def test_prefill_matches_oracle_batch_forward(weights, dweights):
         dweights, cache, jnp.asarray(x)[None], jnp.asarray([T], jnp.int32), CFG
     )
     assert_close(last[0], want_hidden[-1], atol=2e-5, rtol=2e-5)
-    assert int(cache.length[0]) == T
+    assert int(cache.cursor) == T
+    assert int(cache.prefix_len[0]) == T
+    assert int(cache.pos[0]) == T
 
 
 def test_decode_steps_match_batch_forward(weights, dweights):

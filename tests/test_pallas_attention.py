@@ -9,47 +9,86 @@ import jax
 import jax.numpy as jnp
 
 from helpers import assert_close
-from ptts_tpu.ops.attention import decode_attention
+from ptts_tpu.ops.attention import decode_attention_masked
 
 pallas_mod = pytest.importorskip("ptts_tpu.ops.pallas.decode_attention")
 
 
-def _run_pallas_interpret(q, k, v, lengths, block_t=128, block_b=8):
+def _mask(prefix_len, start, cursor, Tmax):
+    t = np.arange(Tmax)[None, :]
+    return (t < prefix_len[:, None]) | (
+        (t >= start[:, None]) & (t <= cursor)
+    )
+
+
+def _run_both(q, k, v, prefix_len, start, cursor, block_t, block_b):
     from jax.experimental.pallas import tpu as pltpu
 
+    Tmax = k.shape[1]
+    mask = jnp.asarray(_mask(prefix_len, start, cursor, Tmax))
+    want = decode_attention_masked(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), mask)
     with pltpu.force_tpu_interpret_mode():
-        return pallas_mod.decode_attention_pallas(
-            q, k, v, lengths, block_t=block_t, block_b=block_b
+        got = pallas_mod.decode_attention_pallas(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(prefix_len), jnp.asarray(start),
+            jnp.asarray(cursor, jnp.int32),
+            block_t=block_t, block_b=block_b,
         )
+    return np.asarray(got), np.asarray(want)
 
 
-@pytest.mark.parametrize("lengths", [[5, 120, 64, 128, 1, 99, 128, 33]])
-def test_pallas_decode_matches_xla(lengths):
+def test_pallas_decode_matches_xla():
     B, Tmax, H, D = 8, 128, 4, 64
     rng = np.random.default_rng(0)
     q = (rng.standard_normal((B, H, D)) * 0.5).astype(np.float32)
     k = (rng.standard_normal((B, Tmax, H, D)) * 0.5).astype(np.float32)
     v = (rng.standard_normal((B, Tmax, H, D)) * 0.5).astype(np.float32)
-    ln = np.asarray(lengths, np.int32)
-
-    want = decode_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                            jnp.asarray(ln))
-    got = _run_pallas_interpret(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                                jnp.asarray(ln), block_t=64, block_b=4)
-    assert_close(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+    prefix = np.array([5, 60, 64, 64, 1, 33, 64, 17], np.int32)
+    start = np.full(8, 64, np.int32)
+    cursor = 99  # decode columns [64, 99]
+    got, want = _run_both(q, k, v, prefix, start, cursor, block_t=64, block_b=4)
+    assert_close(got, want, atol=2e-5, rtol=2e-5)
 
 
-def test_pallas_decode_multi_tblock():
-    """Lengths spanning several T blocks exercise the online softmax."""
+def test_pallas_decode_with_admission_gaps():
+    """Streams admitted at different cursors (continuous batching): gap
+    between prefix and start must be masked, tail beyond cursor skipped."""
     B, Tmax, H, D = 8, 256, 2, 64
     rng = np.random.default_rng(1)
     q = (rng.standard_normal((B, H, D)) * 1.5).astype(np.float32)
     k = (rng.standard_normal((B, Tmax, H, D)) * 1.5).astype(np.float32)
     v = (rng.standard_normal((B, Tmax, H, D))).astype(np.float32)
-    ln = np.array([256, 130, 129, 255, 64, 65, 1, 200], np.int32)
+    prefix = np.array([10, 64, 32, 5, 64, 1, 40, 64], np.int32)
+    start = np.array([64, 64, 100, 130, 64, 190, 64, 100], np.int32)
+    cursor = 193
+    got, want = _run_both(q, k, v, prefix, start, cursor, block_t=64, block_b=8)
+    assert_close(got, want, atol=3e-5, rtol=3e-5)
 
-    want = decode_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                            jnp.asarray(ln))
-    got = _run_pallas_interpret(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                                jnp.asarray(ln), block_t=64, block_b=8)
-    assert_close(np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5)
+
+def test_pallas_skips_tail_blocks():
+    """Cursor early in the cache: result must ignore garbage in the tail."""
+    B, Tmax, H, D = 4, 256, 2, 64
+    rng = np.random.default_rng(2)
+    q = (rng.standard_normal((B, H, D))).astype(np.float32)
+    k = (rng.standard_normal((B, Tmax, H, D))).astype(np.float32)
+    v = (rng.standard_normal((B, Tmax, H, D))).astype(np.float32)
+    k[:, 80:] = np.nan  # tail garbage must never be read
+    v[:, 80:] = np.nan
+    prefix = np.array([10, 20, 30, 40], np.int32)
+    start = np.full(4, 40, np.int32)
+    cursor = 64
+    got, want = _run_both(q, np.nan_to_num(k, nan=0.0), np.nan_to_num(v, nan=0.0),
+                          prefix, start, cursor, block_t=64, block_b=4)
+    # run again with the NaN tail through pallas only: blocks past cursor are
+    # never DMA'd, so NaNs cannot poison the result
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got_nan = np.asarray(pallas_mod.decode_attention_pallas(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(prefix), jnp.asarray(start),
+            jnp.asarray(cursor, jnp.int32), block_t=64, block_b=4,
+        ))
+    assert np.isfinite(got_nan).all()
+    assert_close(got_nan, want, atol=3e-5, rtol=3e-5)
