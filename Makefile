@@ -1,0 +1,37 @@
+# ptts-tpu build/test entry points (analogue of the reference Makefile).
+
+PY ?= python
+TEST_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
+
+.PHONY: all native test test-fast bench bench-streaming golden clean
+
+all: native
+
+# C++ host library (tokenizer, WAV, dtype converters)
+native: ptts_tpu/native/libptts_host.so
+
+ptts_tpu/native/libptts_host.so: csrc/ptts_host.cpp
+	g++ -O2 -std=c++17 -shared -fPIC -o $@ $<
+
+# Hermetic test suite: CPU backend, virtual 8-device mesh (tests/conftest.py)
+test:
+	$(PY) -m pytest tests/ -x -q
+
+# Faster local loop without the TPU-tunnel dial at interpreter start
+test-fast:
+	$(TEST_ENV) $(PY) -m pytest tests/ -x -q
+
+# Serving throughput on the real chip: prints one JSON line
+bench:
+	$(PY) bench.py
+
+bench-streaming:
+	$(PY) tools/bench_streaming.py
+
+# Golden "Hello world!" regression (needs model assets; exits 77 = skip)
+golden:
+	$(PY) tools/hello_world_test.py --model-dir $(PTTS_MODEL_DIR)
+
+clean:
+	rm -f ptts_tpu/native/libptts_host.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -41,6 +41,7 @@ from ..io.wav import Audio
 from ..models import flowlm, mimi
 from ..rng import frame_noise
 from ..text import estimate_frames, prepare_text
+from ..utils.timing import span
 from .. import api
 
 
@@ -186,8 +187,9 @@ class TTSEngine:
         cond, _ = self._voice_cond(voice)
         prefix = self._build_prefix(token_ids, cond)
 
-        res = self.generate_latents_batch([prefix], p.num_frames, p)
-        used = int(res.frames_used[0])
+        with span("FlowLM latents", f"{p.num_frames} frames"):
+            res = self.generate_latents_batch([prefix], p.num_frames, p)
+            used = int(res.frames_used[0])
         latents = np.asarray(res.latents[0][:used])
 
         audio = None
@@ -195,7 +197,8 @@ class TTSEngine:
             # decode on a bucketed frame count (bounds recompiles), slice after
             fbucket = min(res.latents.shape[1], _round_up(used, self.frame_bucket))
             scaled = flowlm.scale_latents(self.fw, res.latents[:, :fbucket])
-            pcm = self.decode_audio_batch(scaled)
+            with span("Mimi decode", f"{used} frames"):
+                pcm = self.decode_audio_batch(scaled)
             samples = pcm[0][: used * self.mimi_cfg.frame_samples]
             audio = Audio(sample_rate=p.sample_rate, channels=1,
                           samples=np.asarray(samples, np.float32))
