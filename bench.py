@@ -27,6 +27,21 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first bench run pays the compile,
+    later runs (and the driver's round-end run) hit the cache."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get("PTTS_COMPILE_CACHE",
+                                   os.path.expanduser("~/.cache/ptts_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
               verbose: bool = True):
     import jax
@@ -110,6 +125,7 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
 
 
 def main() -> int:
+    _enable_compile_cache()
     batch = int(os.environ.get("PTTS_BENCH_BATCH", "256"))
     frames = int(os.environ.get("PTTS_BENCH_FRAMES", "50"))
     dtype = os.environ.get("PTTS_BENCH_DTYPE", "bf16")

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import MimiConfig
 from ..ops.activations import gelu_tanh
-from ..ops.attention import causal_attention
+from ..ops.attention import causal_attention, windowed_attention_local
 from ..ops.conv import (
     conv1d_causal,
     convtr1d_causal,
@@ -36,6 +36,9 @@ from ..ops.norms import layernorm
 from ..ops.rope import rope_rotate
 
 Weights = Dict[str, Any]
+
+# query-block size for block-local windowed attention (>= context - 1)
+LOCAL_ATTN_BLOCK = 256
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +273,14 @@ def transformer(w: Weights, x: jnp.ndarray, cfg: MimiConfig,
         k = qkv[..., d : 2 * d].reshape(B, T, H, D)
         v = qkv[..., 2 * d :].reshape(B, T, H, D)
         q, k = rope_rotate(q, k, positions, cfg.max_period)
-        attn = causal_attention(q, k, v, context=cfg.context).reshape(B, T, d)
+        # block-local windowed attention avoids the [B, H, T, T] score tensor
+        # for long sequences; exact-equal to the naive masked form
+        block = max(LOCAL_ATTN_BLOCK, cfg.context - 1)
+        if T > block:
+            attn = windowed_attention_local(q, k, v, context=cfg.context,
+                                            block=block).reshape(B, T, d)
+        else:
+            attn = causal_attention(q, k, v, context=cfg.context).reshape(B, T, d)
         add = _linear(w["out_proj"][l], None, attn)
         if w["ls1"] is not None:
             add = add * w["ls1"][l]

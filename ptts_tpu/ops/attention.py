@@ -61,6 +61,64 @@ def causal_attention(
     return out.astype(q.dtype)
 
 
+def windowed_attention_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    context: int,
+    block: int = 256,
+) -> jnp.ndarray:
+    """Sliding-window causal attention in block-local form.
+
+    Equivalent to causal_attention(..., context=context) but only
+    materializes [B, nb, H, S, 2S] scores (current + previous key block)
+    instead of [B, H, T, T] -- the window (250 for Mimi,
+    /root/reference/ptts_mimi.c:17) never reaches past the previous block
+    when block >= context - 1. For Mimi at T=1024 this cuts score traffic 2x,
+    and linearly more for longer sequences.
+
+    q, k, v: [B, T, H, D]. Requires block >= context - 1.
+    """
+    B, T, H, D = q.shape
+    S = block
+    assert S >= context - 1, (S, context)
+    nb = -(-T // S)
+    pad = nb * S - T
+    if pad:
+        zpad = jnp.zeros((B, pad, H, D), q.dtype)
+        q = jnp.concatenate([q, zpad], axis=1)
+        k = jnp.concatenate([k, zpad], axis=1)
+        v = jnp.concatenate([v, zpad], axis=1)
+
+    qb = q.reshape(B, nb, S, H, D)
+    kb = k.reshape(B, nb, S, H, D)
+    vb = v.reshape(B, nb, S, H, D)
+    # previous block (zeros before block 0)
+    kprev = jnp.concatenate([jnp.zeros_like(kb[:, :1]), kb[:, :-1]], axis=1)
+    vprev = jnp.concatenate([jnp.zeros_like(vb[:, :1]), vb[:, :-1]], axis=1)
+    k2 = jnp.concatenate([kprev, kb], axis=2)  # [B, nb, 2S, H, D]
+    v2 = jnp.concatenate([vprev, vb], axis=2)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    scores = jnp.einsum("bnqhd,bnkhd->bnhqk", qb, k2,
+                        preferred_element_type=jnp.float32) * scale
+
+    qi = jnp.arange(S)[:, None]           # position within query block
+    kj = jnp.arange(2 * S)[None, :] - S   # key offset relative to block start
+    rel = qi - kj                         # q_pos - k_pos
+    bidx = jnp.arange(nb)[:, None, None]
+    k_abs = bidx * S + kj[None]           # [nb, S, 2S] absolute key position
+    mask = (rel[None] >= 0) & (rel[None] < context) & (k_abs >= 0)
+    # padded tail keys: k_abs < T
+    mask = mask & (k_abs < T)
+    probs = _masked_softmax(scores, mask[None, :, None, :, :])
+    out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs.astype(v2.dtype), v2,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(B, nb * S, H, D)[:, :T]
+    return out.astype(q.dtype)
+
+
 def decode_attention_masked(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,

@@ -61,3 +61,17 @@ def test_decode_batched_consistency(weights, dweights):
     for b in range(4):
         single = np.asarray(mimi.decode(dweights, jnp.asarray(lats[b])[None], CFG))
         assert_close(batched[b], single[0], atol=1e-5, msg=f"stream {b}")
+
+
+def test_decode_with_local_attention_block(weights, dweights, monkeypatch):
+    """Force the block-local windowed attention path in the full decoder and
+    check it matches the naive path."""
+    frames = 4  # upsample x2 -> T=8 200Hz positions
+    latents = randn(1, frames, CFG.latent_dim)
+    baseline = np.asarray(mimi.decode(dweights, jnp.asarray(latents), CFG))
+    # block = max(4, context-1=4) = 4 >= context-1, T=8 > 4 -> local path
+    monkeypatch.setattr(mimi, "LOCAL_ATTN_BLOCK", 4)
+    mimi.decode.clear_cache()
+    got = np.asarray(mimi.decode(dweights, jnp.asarray(latents), CFG))
+    mimi.decode.clear_cache()
+    assert_close(got, baseline, atol=3e-5, rtol=3e-5)

@@ -213,3 +213,21 @@ def test_conv1d_no_bias():
     want = refimpl.conv1d(x, w, None, 1, 1)
     got = conv1d_causal(jnp.asarray(x.T)[None], jnp.asarray(prepare_conv_kernel(w)), None)
     assert_close(np.asarray(got)[0].T, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("T,context,block", [
+    (40, 5, 8),      # multiple blocks, small window
+    (37, 5, 8),      # ragged T (padding path)
+    (16, 9, 8),      # window == block+1 (boundary of the requirement)
+    (64, 3, 16),
+])
+def test_windowed_attention_local_matches_naive(T, context, block):
+    from ptts_tpu.ops.attention import windowed_attention_local
+
+    H, D = 2, 4
+    q, k, v = randn(1, T, H, D), randn(1, T, H, D), randn(1, T, H, D)
+    want = causal_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            context=context)
+    got = windowed_attention_local(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), context=context, block=block)
+    assert_close(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
