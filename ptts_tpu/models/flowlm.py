@@ -631,6 +631,30 @@ def scale_latents(w: Weights, latents: jnp.ndarray) -> jnp.ndarray:
     return latents * w["emb_std"] + w["emb_mean"]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"))
+def forward_next(
+    w: Weights,
+    seq: jnp.ndarray,      # [B, T, d_model] full sequence incl. BOS/prev latents
+    lengths: jnp.ndarray,  # [B]
+    noise: jnp.ndarray,    # [B, latent_dim]
+    cfg: FlowLMConfig,
+    num_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Non-cached full-sequence forward producing the next latent + EOS logit.
+
+    Mirror of ptts_flowlm_forward_next (ptts_flowlm.c:1027-1136): rebuilds the
+    whole sequence and runs batch causal attention -- O(T^2) per frame, kept
+    as the cross-check path for the KV-cached decode (the reference keeps it
+    for the same reason, SURVEY.md §3.4).
+    """
+    _, _, last = prefill_kv(w, seq, lengths, cfg)
+    normed = layernorm(last, w["out_norm_w"], w["out_norm_b"], cfg.ln_eps)
+    eos = eos_logit(w, normed)
+    time_embs = lsd_time_embeds(w, num_steps, cfg)
+    latent, _ = lsd_decode(w, normed, time_embs, noise, cfg)
+    return latent, eos
+
+
 def embed_tokens(w: Weights, token_ids: jnp.ndarray, cfg: FlowLMConfig) -> jnp.ndarray:
     """Token ids -> embeddings; out-of-range ids clamp to row 0
     (ptts_flowlm.c:1168-1171)."""

@@ -205,3 +205,36 @@ def test_embed_tokens_clamps(weights, dweights):
     assert_close(emb[2], weights["embed"][0])  # -1 -> row 0
     assert_close(emb[3], weights["embed"][0])  # vocab+1 -> row 0
     assert_close(emb[1], weights["embed"][CFG.vocab])  # vocab is valid (vocab+1 rows)
+
+
+def test_forward_next_matches_cached_generation(weights, dweights):
+    """The O(T^2) non-cached path must agree with the KV-cached decode."""
+    tokens = np.array([2, 5, 1], np.int32)
+    noise = frame_noise(17, 2, CFG.latent_dim, temp=0.5)
+
+    prefix = _build_prefix(weights, tokens, None)
+    T0 = len(prefix)
+    cache = flowlm.make_cache(CFG, 1, T0 + 2)
+    cache, x0 = flowlm.prefill(dweights, cache, jnp.asarray(prefix)[None],
+                               jnp.asarray([T0], jnp.int32), CFG)
+    res = flowlm.generate_latents(
+        dweights, cache, x0, jnp.asarray(noise)[None], CFG,
+        max_frames=2, num_steps=1, eos_enabled=False,
+    )
+
+    # frame 0 via forward_next over [prefix]
+    lat0, eos0 = flowlm.forward_next(
+        dweights, jnp.asarray(prefix)[None], jnp.asarray([T0], jnp.int32),
+        jnp.asarray(noise[0])[None], CFG, 1,
+    )
+    assert_close(lat0[0], res.latents[0, 0], atol=3e-5, rtol=3e-5)
+    assert_close(eos0[0], res.eos_logits[0, 0], atol=3e-5, rtol=1e-3)
+
+    # frame 1: sequence extended by input_linear(latent 0)
+    nxt = refimpl.linear(weights["input_linear"], None, np.asarray(lat0[0]))
+    seq = np.concatenate([prefix, nxt[None]], 0)
+    lat1, _ = flowlm.forward_next(
+        dweights, jnp.asarray(seq)[None], jnp.asarray([len(seq)], jnp.int32),
+        jnp.asarray(noise[1])[None], CFG, 1,
+    )
+    assert_close(lat1[0], res.latents[0, 1], atol=5e-5, rtol=5e-5)
