@@ -148,22 +148,38 @@ class TTSEngine:
             noise = np.concatenate([noise, pad], axis=1)
 
         max_len = T0 + frames
-        cache = flowlm.make_cache(cfg, B, max_len, self.dtype)
-        cache, x0 = flowlm.prefill(
-            self.fw, cache, jnp.asarray(padded, self.dtype),
-            jnp.asarray(lengths), cfg
-        )
-        res = flowlm.generate_latents(
-            self.fw, cache, x0, jnp.asarray(noise, self.dtype), cfg,
-            max_frames=frames, num_steps=params.num_steps,
-            eos_enabled=bool(params.eos_enabled),
-            eos_threshold=params.eos_threshold,
-            eos_min_frames=params.eos_min_frames,
-            eos_after=jnp.asarray(
-                eos_after if eos_after is not None else params.eos_after, jnp.int32
-            ),
-            flags=self.flags,
-        )
+
+        def run(flags):
+            cache = flowlm.make_cache(cfg, B, max_len, self.dtype)
+            cache, x0 = flowlm.prefill(
+                self.fw, cache, jnp.asarray(padded, self.dtype),
+                jnp.asarray(lengths), cfg
+            )
+            return flowlm.generate_latents(
+                self.fw, cache, x0, jnp.asarray(noise, self.dtype), cfg,
+                max_frames=frames, num_steps=params.num_steps,
+                eos_enabled=bool(params.eos_enabled),
+                eos_threshold=params.eos_threshold,
+                eos_min_frames=params.eos_min_frames,
+                eos_after=jnp.asarray(
+                    eos_after if eos_after is not None else params.eos_after,
+                    jnp.int32,
+                ),
+                flags=flags,
+            )
+
+        try:
+            res = run(self.flags)
+        except Exception:
+            # Graceful degradation, the reference's backend-fallback pattern
+            # (ptts_kernels.c:70-81): a failing Pallas kernel permanently
+            # drops this engine to the XLA path.
+            if not self.flags.use_pallas_decode_attention:
+                raise
+            self.flags = dataclasses.replace(
+                self.flags, use_pallas_decode_attention=False
+            )
+            res = run(self.flags)
         # cap frames_used at the caller's true max (bucketing may exceed it)
         capped = jnp.minimum(res.frames_used, max_frames)
         return res._replace(frames_used=capped)

@@ -131,3 +131,28 @@ def test_generate_dummy():
     assert audio.sample_rate == 24000
     assert audio.num_samples > 0
     assert np.abs(audio.samples).max() <= 0.21
+
+
+def test_engine_pallas_fallback(ctx, monkeypatch):
+    """A failing Pallas kernel must degrade to the XLA path (the reference's
+    backend fallback chain, ptts_kernels.c:70-81)."""
+    import dataclasses as dc
+
+    from ptts_tpu.config import KernelFlags
+    from ptts_tpu.models import pallas_compat
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic unavailable")
+
+    monkeypatch.setattr(pallas_compat, "pallas_decode_attention", boom)
+    engine = ctx.engine
+    old_flags = engine.flags
+    engine.flags = KernelFlags(use_pallas_decode_attention=True)
+    try:
+        p = api.Params(num_frames=2, num_steps=1, seed=1, temp=0.0,
+                       eos_enabled=False)
+        out = engine.generate_full("hello", params=p, decode_audio=False)
+        assert out.frames_used == 2
+        assert not engine.flags.use_pallas_decode_attention  # degraded
+    finally:
+        engine.flags = old_flags
