@@ -70,21 +70,25 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
         rng.standard_normal((batch, frame_bucket, cfg.latent_dim)) * 0.8, dtype
     )
 
+    scale_and_decode = jax.jit(
+        lambda lat: mimi.decode(mw, flowlm.scale_latents(fw, lat[:, :frames]),
+                                mcfg)
+    )
+
     def pipeline(prefix, lengths, noise):
+        # Three separately-jitted stages (the production engine's call
+        # pattern). One monolithic jit of the whole pipeline measured the
+        # same runtime but 100x the XLA compile time.
         cache = flowlm.make_cache(cfg, batch, max_len, dtype)
         cache, x0 = flowlm.prefill(fw, cache, prefix, lengths, cfg)
         res = flowlm.generate_latents(
             fw, cache, x0, noise, cfg, max_frames=frame_bucket, num_steps=1,
             eos_enabled=False,
         )
-        lat = res.latents[:, :frames]
-        scaled = flowlm.scale_latents(fw, lat)
-        return mimi.decode(mw, scaled, mcfg)
-
-    fn = jax.jit(pipeline)
+        return scale_and_decode(res.latents)
 
     t_compile = time.perf_counter()
-    pcm = fn(prefix, lengths, noise)
+    pcm = pipeline(prefix, lengths, noise)
     pcm.block_until_ready()
     compile_s = time.perf_counter() - t_compile
     if verbose:
@@ -93,7 +97,7 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        pcm = fn(prefix, lengths, noise)
+        pcm = pipeline(prefix, lengths, noise)
         pcm.block_until_ready()
         times.append(time.perf_counter() - t0)
     wall = min(times)
