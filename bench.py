@@ -87,20 +87,33 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
         )
         return scale_and_decode(res.latents)
 
+    def run_chained(n: int) -> float:
+        """Run the pipeline n times back-to-back (each dependent on the
+        previous via a data tap) and sync with a HOST READBACK. Through the
+        axon tunnel block_until_ready() returns before device execution
+        finishes, so only a readback is a true fence; chaining + slope
+        removes the fixed readback latency."""
+        t0 = time.perf_counter()
+        tap = jnp.zeros((), jnp.float32)
+        px = prefix
+        for _ in range(n):
+            pcm = pipeline(px + tap.astype(dtype) * 0, lengths, noise)
+            tap = jnp.sum(pcm[:1, :8].astype(jnp.float32))
+        float(tap)  # host readback = fence
+        return time.perf_counter() - t0
+
     t_compile = time.perf_counter()
-    pcm = pipeline(prefix, lengths, noise)
-    pcm.block_until_ready()
+    run_chained(1)
     compile_s = time.perf_counter() - t_compile
     if verbose:
         print(f"[bench] warmup+compile: {compile_s:.1f}s", file=sys.stderr)
 
-    times = []
+    walls = []
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        pcm = pipeline(prefix, lengths, noise)
-        pcm.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    wall = min(times)
+        t1 = run_chained(1)
+        t3 = run_chained(3)
+        walls.append((t3 - t1) / 2)  # slope: per-run time, fixed costs cancel
+    wall = min(walls)
 
     audio_seconds = frames / mcfg.frame_rate  # per stream
     streams = batch * audio_seconds / wall

@@ -36,7 +36,7 @@ from ..config import FlowLMConfig
 from ..models import flowlm, mimi_stream
 from ..rng import frame_noise
 from ..text import estimate_frames, prepare_text
-from .streaming import flow_frame_step
+from .streaming import fused_stream_step
 
 
 @dataclasses.dataclass
@@ -274,14 +274,13 @@ class ContinuousBatcher:
 
         was_done = np.asarray(self.done).copy()
         noise = jnp.asarray(self._gather_noise(), engine.dtype)
-        (self.cache, self.x, scaled, eos, self.eos_step, self.done) = flow_frame_step(
-            engine.fw, self.cache, self.x, noise, self.time_embs,
-            self.frame_idx, self.eos_step, self.done,
-            self.cfg, bool(p.eos_enabled), p.eos_threshold, p.eos_min_frames,
+        (self.cache, self.mimi_state, self.x, pcm, eos,
+         self.eos_step, self.done) = fused_stream_step(
+            engine.fw, engine.mw, self.cache, self.mimi_state, self.x, noise,
+            self.time_embs, self.frame_idx, self.eos_step, self.done,
+            self.cfg, engine.mimi_cfg, bool(p.eos_enabled),
+            p.eos_threshold, p.eos_min_frames,
             jnp.asarray(self._eos_after), jnp.asarray(self._max_frames),
-        )
-        self.mimi_state, pcm = mimi_stream.decode_stream(
-            engine.mw, self.mimi_state, scaled[:, None, :], engine.mimi_cfg
         )
         self.frame_idx = self.frame_idx + 1
 

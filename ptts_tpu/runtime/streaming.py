@@ -71,6 +71,44 @@ def flow_frame_step(
     return cache, x, scaled, eos, eos_step, done
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mcfg", "eos_enabled"),
+    donate_argnames=("cache", "mimi_state"),
+)
+def fused_stream_step(
+    fw,
+    mw,
+    cache: flowlm.KVCache,
+    mimi_state,
+    x: jnp.ndarray,
+    noise: jnp.ndarray,
+    time_embs: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    eos_step: jnp.ndarray,
+    done: jnp.ndarray,
+    cfg: FlowLMConfig,
+    mcfg,
+    eos_enabled: bool,
+    eos_threshold: float,
+    eos_min_frames: int,
+    eos_after: jnp.ndarray,
+    max_frames: jnp.ndarray | None = None,
+):
+    """One serving frame in a single device program: FlowLM frame step +
+    streaming-Mimi chunk decode. One dispatch per 80 ms frame (dispatch
+    latency is the streaming-path bottleneck on remote-tunnel setups)."""
+    from ..models import mimi_stream
+
+    cache, x, scaled, eos, eos_step, done = flow_frame_step(
+        fw, cache, x, noise, time_embs, frame_idx, eos_step, done,
+        cfg, eos_enabled, eos_threshold, eos_min_frames, eos_after, max_frames,
+    )
+    mimi_state, pcm = mimi_stream.decode_stream(
+        mw, mimi_state, scaled[:, None, :], mcfg
+    )
+    return cache, mimi_state, x, pcm, eos, eos_step, done
+
+
 @dataclasses.dataclass
 class StreamChunk:
     pcm: np.ndarray          # [B, frame_samples] f32
@@ -155,15 +193,13 @@ class StreamingSession:
         engine = self.engine
         was_done = np.asarray(self.done).copy()
         noise = jnp.asarray(self._noise[:, self.frame], engine.dtype)
-        (self.cache, self.x, scaled, eos, self.eos_step, self.done) = flow_frame_step(
-            engine.fw, self.cache, self.x, noise, self.time_embs,
-            jnp.int32(self.frame), self.eos_step, self.done,
-            self.cfg, bool(self.params.eos_enabled),
+        (self.cache, self.mimi_state, self.x, pcm, eos,
+         self.eos_step, self.done) = fused_stream_step(
+            engine.fw, engine.mw, self.cache, self.mimi_state, self.x, noise,
+            self.time_embs, jnp.int32(self.frame), self.eos_step, self.done,
+            self.cfg, engine.mimi_cfg, bool(self.params.eos_enabled),
             self.params.eos_threshold, self.params.eos_min_frames,
             self.eos_after,
-        )
-        self.mimi_state, pcm = mimi_stream.decode_stream(
-            engine.mw, self.mimi_state, scaled[:, None, :], engine.mimi_cfg
         )
         active = ~was_done
         self.frames_used += active.astype(np.int64)
