@@ -27,9 +27,11 @@ from ..ops.activations import gelu_tanh
 from ..ops.attention import causal_attention, windowed_attention_local
 from ..ops.conv import (
     conv1d_causal,
+    convtr1d_2s,
     convtr1d_causal,
     elu,
     prepare_conv_kernel,
+    prepare_convtr_halves,
     prepare_convtr_kernel,
 )
 from ..ops.norms import layernorm
@@ -103,8 +105,8 @@ def load_weights(st, cfg: MimiConfig = MimiConfig()) -> Weights:
     up_w = _get(st, "upsample.convtr.weight", optional=True)
     if up_w is None:
         up_w = _get(st, "upsample.convtr.convtr.weight")
-    # depthwise: torch layout [in=512, out/g=1, k]
-    up_kernel = prepare_convtr_kernel(up_w, groups=cfg.d_model)
+    # depthwise k=2s: matmul-form halves (see ops/conv.prepare_convtr_halves)
+    up_w1, up_w2 = prepare_convtr_halves(up_w, groups=cfg.d_model)
 
     stages = []
     # decoder.model indices: 0 conv, then per stage (ELU, convtr, resblock):
@@ -117,9 +119,11 @@ def load_weights(st, cfg: MimiConfig = MimiConfig()) -> Weights:
         r1_b = _get(st, f"decoder.model.{idx + 1}.block.1.conv.bias")
         r2 = _get(st, f"decoder.model.{idx + 1}.block.3.conv.weight")
         r2_b = _get(st, f"decoder.model.{idx + 1}.block.3.conv.bias")
+        s_w1, s_w2 = prepare_convtr_halves(up, groups=1)
         stages.append(
             {
-                "up_kernel": prepare_convtr_kernel(up, groups=1),
+                "up_w1": s_w1,
+                "up_w2": s_w2,
                 "up_bias": up_b,
                 "res1_kernel": prepare_conv_kernel(r1),
                 "res1_bias": r1_b,
@@ -132,7 +136,8 @@ def load_weights(st, cfg: MimiConfig = MimiConfig()) -> Weights:
 
     w: Weights = {
         "quant_w": quant,
-        "upsample_kernel": up_kernel,
+        "upsample_w1": up_w1,
+        "upsample_w2": up_w2,
         "dec_in_kernel": prepare_conv_kernel(_get(st, "decoder.model.0.conv.weight")),
         "dec_in_bias": _get(st, "decoder.model.0.conv.bias"),
         "stages": stages,
@@ -177,9 +182,11 @@ def random_weights(cfg: MimiConfig, seed: int = 0, scale: float = 0.05) -> Weigh
         r1b = r(geo["res_hidden"])
         r2w = r(geo["out_ch"], geo["res_hidden"], 1)
         r2b = r(geo["out_ch"])
+        s_w1, s_w2 = prepare_convtr_halves(upw, groups=1)
         stages.append(
             {
-                "up_kernel": prepare_convtr_kernel(upw, groups=1),
+                "up_w1": s_w1,
+                "up_w2": s_w2,
                 "up_bias": upb,
                 "res1_kernel": prepare_conv_kernel(r1w),
                 "res1_bias": r1b,
@@ -209,9 +216,11 @@ def random_weights(cfg: MimiConfig, seed: int = 0, scale: float = 0.05) -> Weigh
     }
     quant_w = r(d, cfg.latent_dim)
 
+    up_w1, up_w2 = prepare_convtr_halves(up_w, groups=d)
     w: Weights = {
         "quant_w": quant_w,
-        "upsample_kernel": prepare_convtr_kernel(up_w, groups=d),
+        "upsample_w1": up_w1,
+        "upsample_w2": up_w2,
         "dec_in_kernel": prepare_conv_kernel(dec_in_w),
         "dec_in_bias": dec_in_b,
         "stages": stages,
@@ -303,7 +312,7 @@ def conv_stack(w: Weights, x: jnp.ndarray, cfg: MimiConfig) -> jnp.ndarray:
     for st, ratio in zip(w["stages"], cfg.ratios):
         x = elu(x)
         # stride comes from the static config (cfg.ratios), never the pytree.
-        x = convtr1d_causal(x, st["up_kernel"], st["up_bias"], stride=ratio)
+        x = convtr1d_2s(x, st["up_w1"], st["up_w2"], st["up_bias"], stride=ratio)
         h = elu(x)
         h = conv1d_causal(h, st["res1_kernel"], st["res1_bias"])
         h = elu(h)
@@ -321,9 +330,9 @@ def decode(w: Weights, latents: jnp.ndarray, cfg: MimiConfig) -> jnp.ndarray:
     """
     # quantizer output proj (1x1 conv, no bias)
     x = _linear(w["quant_w"], None, latents)  # [B, F, 512]
-    # depthwise transposed upsample 12.5 Hz -> 200 Hz
-    x = convtr1d_causal(x, w["upsample_kernel"], None,
-                        stride=cfg.upsample_stride, groups=cfg.d_model)
+    # depthwise transposed upsample 12.5 Hz -> 200 Hz (k=2s matmul form)
+    x = convtr1d_2s(x, w["upsample_w1"], w["upsample_w2"], None,
+                    stride=cfg.upsample_stride, depthwise=True)
     x = transformer(w["transformer"], x, cfg)
     y = conv_stack(w, x, cfg)  # [B, T*samples, 1]
     return y[..., 0]

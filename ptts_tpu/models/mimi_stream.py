@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..config import MimiConfig
 from ..ops.activations import gelu_tanh
 from ..ops.attention import NEG_INF
-from ..ops.conv import conv1d_causal, convtr1d_causal, elu
+from ..ops.conv import conv1d_causal, elu
 from ..ops.norms import layernorm
 from ..ops.rope import rope_rotate
 
@@ -78,40 +78,39 @@ def convtr_carry_init(batch: int, k: int, stride: int, out_ch: int, dtype) -> jn
     return jnp.zeros((batch, k - stride, out_ch), dtype)
 
 
-def convtr1d_stream(
+def convtr1d_2s_stream(
     x: jnp.ndarray,        # [B, Tc, Cin]
-    carry: jnp.ndarray,    # [B, k - stride, Cout] pending partial sums (no bias)
-    kernel: jnp.ndarray,   # flipped WIO [k, in/g, out] (prepare_convtr_kernel)
+    carry: jnp.ndarray,    # [B, stride, Cout] pending second-half taps (no bias)
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
     bias,
     *,
     stride: int,
-    groups: int = 1,
+    depthwise: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Streaming transposed conv: returns (y [B, Tc*stride, Cout], new_carry)."""
-    k = kernel.shape[0]
-    tail = k - stride
-    Tc = x.shape[1]
-    y_full = jax.lax.conv_general_dilated(
-        x,
-        kernel.astype(x.dtype),
-        window_strides=(1,),
-        padding=[(k - 1, k - 1)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    )  # [B, (Tc-1)*s + k, Cout]
-    emit = y_full[:, : Tc * stride, :]
-    if tail > 0:
-        pad = jnp.zeros((x.shape[0], Tc * stride - tail, carry.shape[-1]),
-                        y_full.dtype)
-        emit = emit + jnp.concatenate([carry.astype(y_full.dtype), pad], axis=1)
-        new_carry = y_full[:, Tc * stride :, :].astype(carry.dtype)
+    """Streaming k == 2*stride transposed conv in matmul form
+    (ops/conv.prepare_convtr_halves). Returns (y [B, Tc*stride, Cout], carry):
+    frame t's second-half taps land in frame t+1, so the carry is simply the
+    last frame's second-half contribution."""
+    B, Tc, Cin = x.shape
+    s = stride
+    if depthwise:
+        y1 = x[:, :, None, :] * w1[None, None].astype(x.dtype)
+        y2 = x[:, :, None, :] * w2[None, None].astype(x.dtype)
+        Cout = Cin
     else:
-        new_carry = carry
+        y1 = jnp.einsum("btc,cjo->btjo", x, w1.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+        y2 = jnp.einsum("btc,cjo->btjo", x, w2.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+        Cout = w1.shape[-1]
+    shifted = jnp.concatenate([carry.astype(y2.dtype)[:, None], y2[:, :-1]],
+                              axis=1)
+    y = (y1 + shifted).reshape(B, Tc * s, Cout)
+    new_carry = y2[:, -1].astype(carry.dtype)  # [B, s, Cout]
     if bias is not None:
-        emit = emit + bias
-    return emit.astype(x.dtype), new_carry
+        y = y + bias
+    return y.astype(x.dtype), new_carry
 
 
 # ---------------------------------------------------------------------------
@@ -248,9 +247,9 @@ def decode_stream(
     """
     x = jnp.einsum("bfi,oi->bfo", latents, w["quant_w"],
                    preferred_element_type=jnp.float32).astype(latents.dtype)
-    x, up_carry = convtr1d_stream(
-        x, state["up"], w["upsample_kernel"], None,
-        stride=cfg.upsample_stride, groups=cfg.d_model,
+    x, up_carry = convtr1d_2s_stream(
+        x, state["up"], w["upsample_w1"], w["upsample_w2"], None,
+        stride=cfg.upsample_stride, depthwise=True,
     )
     ring, x = transformer_stream(w["transformer"], state["ring"], x, cfg)
 
@@ -259,8 +258,8 @@ def decode_stream(
     new_stages = []
     for st, stw, ratio in zip(state["stages"], w["stages"], cfg.ratios):
         x = elu(x)
-        x, up_c = convtr1d_stream(x, st["up"], stw["up_kernel"], stw["up_bias"],
-                                  stride=ratio)
+        x, up_c = convtr1d_2s_stream(x, st["up"], stw["up_w1"], stw["up_w2"],
+                                     stw["up_bias"], stride=ratio)
         h = elu(x)
         h, r1_c = conv1d_stream(h, st["res1"], stw["res1_kernel"], stw["res1_bias"])
         h = elu(h)

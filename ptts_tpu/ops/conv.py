@@ -98,6 +98,69 @@ def convtr1d_causal(
     return y.astype(x.dtype)
 
 
+def prepare_convtr_halves(w_torch: np.ndarray, groups: int):
+    """Split a k == 2*stride ConvTranspose1d weight into two matmul tables.
+
+    For k = 2s, output position p receives exactly two taps:
+        y[p] = x[p//s] . W[:, :, p%s]  +  x[p//s - 1] . W[:, :, p%s + s]
+    so the whole transposed conv is two GEMMs plus a one-frame shift -- pure
+    MXU work instead of XLA's input-dilated conv path (which is the measured
+    bottleneck of the vocoder). All of Mimi's transposed convs have k = 2s
+    (upsample 32/16; stages 12/6, 10/5, 8/4 -- ptts_mimi.c:385-462).
+
+    Returns (w1, w2):
+      groups == 1:  [Cin, s, Cout]  (einsum 'btc,csj->btsj')
+      depthwise:    [s, C]          (broadcast multiply)
+    """
+    in_ch, out_per_group, k = w_torch.shape
+    s = k // 2
+    assert k == 2 * s
+    if groups == 1:
+        w1 = np.ascontiguousarray(np.transpose(w_torch[:, :, :s], (0, 2, 1)))
+        w2 = np.ascontiguousarray(np.transpose(w_torch[:, :, s:], (0, 2, 1)))
+        return w1, w2  # [Cin, s, Cout]
+    assert groups == in_ch and out_per_group == 1, "only depthwise supported"
+    w1 = np.ascontiguousarray(w_torch[:, 0, :s].T)  # [s, C]
+    w2 = np.ascontiguousarray(w_torch[:, 0, s:].T)
+    return w1, w2
+
+
+def convtr1d_2s(
+    x: jnp.ndarray,   # [B, T, Cin]
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    bias,
+    *,
+    stride: int,
+    depthwise: bool = False,
+) -> jnp.ndarray:
+    """k == 2*stride transposed conv as two matmuls (see prepare_convtr_halves).
+
+    Matches convtr1d_causal's semantics (right-trimmed to T*stride): the
+    second-half taps of the last frame fall off the end, and position block 0
+    gets no second-half contribution (x[-1] is zero padding).
+    """
+    B, T, Cin = x.shape
+    s = stride
+    if depthwise:
+        # w: [s, C] -> y[b, t, j, c] = x[b, t, c] * w[j, c]
+        y1 = x[:, :, None, :] * w1[None, None].astype(x.dtype)
+        y2 = x[:, :, None, :] * w2[None, None].astype(x.dtype)
+        Cout = Cin
+    else:
+        y1 = jnp.einsum("btc,cjo->btjo", x, w1.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+        y2 = jnp.einsum("btc,cjo->btjo", x, w2.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+        Cout = w1.shape[-1]
+    # shift y2 down one frame: frame t's second-half taps land in frame t+1
+    y2 = jnp.concatenate([jnp.zeros_like(y2[:, :1]), y2[:, :-1]], axis=1)
+    y = (y1 + y2).reshape(B, T * s, Cout)
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
 def elu(x: jnp.ndarray) -> jnp.ndarray:
     """ELU(alpha=1) matching ptts_kernels.c:209-219 (x>=0 ? x : exp(x)-1)."""
     return jnp.where(x >= 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)

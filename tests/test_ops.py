@@ -231,3 +231,27 @@ def test_windowed_attention_local_matches_naive(T, context, block):
     got = windowed_attention_local(jnp.asarray(q), jnp.asarray(k),
                                    jnp.asarray(v), context=context, block=block)
     assert_close(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("in_ch,out_ch,stride,T,depthwise", [
+    (4, 2, 6, 5, False),
+    (8, 8, 16, 3, True),
+    (6, 10, 4, 7, False),
+])
+def test_convtr1d_2s_matches_oracle(in_ch, out_ch, stride, T, depthwise):
+    """k == 2*stride matmul-form transposed conv vs the naive oracle."""
+    from ptts_tpu.ops.conv import convtr1d_2s, prepare_convtr_halves
+
+    k = 2 * stride
+    groups = in_ch if depthwise else 1
+    if depthwise:
+        out_ch = in_ch
+    x = randn(in_ch, T)
+    w = randn(in_ch, out_ch // groups, k)
+    b = randn(out_ch)
+    want = refimpl.convtr1d(x, w, b, stride, groups)
+    w1, w2 = prepare_convtr_halves(w, groups)
+    got = convtr1d_2s(jnp.asarray(x.T)[None], jnp.asarray(w1), jnp.asarray(w2),
+                      jnp.asarray(b), stride=stride, depthwise=depthwise)
+    assert np.asarray(got).shape == (1, T * stride, out_ch)
+    assert_close(np.asarray(got)[0].T, want, atol=1e-5)
