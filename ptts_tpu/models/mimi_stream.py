@@ -74,13 +74,14 @@ def conv1d_stream(
     return y.astype(x.dtype), new_carry
 
 
-def convtr_carry_init(batch: int, k: int, stride: int, out_ch: int, dtype) -> jnp.ndarray:
-    return jnp.zeros((batch, k - stride, out_ch), dtype)
+def convtr_carry_init(batch: int, in_ch: int, dtype) -> jnp.ndarray:
+    """k == 2*stride transposed conv needs only the previous input frame."""
+    return jnp.zeros((batch, 1, in_ch), dtype)
 
 
 def convtr1d_2s_stream(
     x: jnp.ndarray,        # [B, Tc, Cin]
-    carry: jnp.ndarray,    # [B, stride, Cout] pending second-half taps (no bias)
+    carry: jnp.ndarray,    # [B, 1, Cin] previous chunk's last input frame
     w1: jnp.ndarray,
     w2: jnp.ndarray,
     bias,
@@ -88,29 +89,18 @@ def convtr1d_2s_stream(
     stride: int,
     depthwise: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Streaming k == 2*stride transposed conv in matmul form
-    (ops/conv.prepare_convtr_halves). Returns (y [B, Tc*stride, Cout], carry):
-    frame t's second-half taps land in frame t+1, so the carry is simply the
-    last frame's second-half contribution."""
-    B, Tc, Cin = x.shape
-    s = stride
-    if depthwise:
-        y1 = x[:, :, None, :] * w1[None, None].astype(x.dtype)
-        y2 = x[:, :, None, :] * w2[None, None].astype(x.dtype)
-        Cout = Cin
-    else:
-        y1 = jnp.einsum("btc,cjo->btjo", x, w1.astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-        y2 = jnp.einsum("btc,cjo->btjo", x, w2.astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-        Cout = w1.shape[-1]
-    shifted = jnp.concatenate([carry.astype(y2.dtype)[:, None], y2[:, :-1]],
-                              axis=1)
-    y = (y1 + shifted).reshape(B, Tc * s, Cout)
-    new_carry = y2[:, -1].astype(carry.dtype)  # [B, s, Cout]
-    if bias is not None:
-        y = y + bias
-    return y.astype(x.dtype), new_carry
+    """Streaming k == 2*stride transposed conv (ops/conv.convtr1d_2s form):
+    y[t*s + j] = x[t] . W1[:, j] + x[t-1] . W2[:, j]; carrying the previous
+    input frame across chunks makes streaming exact."""
+    from ..ops.conv import convtr1d_2s
+
+    full = jnp.concatenate([carry.astype(x.dtype), x], axis=1)  # [B, Tc+1, C]
+    y = convtr1d_2s(full, w1, w2, bias, stride=stride, depthwise=depthwise)
+    # drop the first s outputs (they belong to the carried frame's slot,
+    # already emitted by the previous chunk)
+    y = y[:, stride:, :]
+    new_carry = x[:, -1:, :].astype(carry.dtype)
+    return y, new_carry
 
 
 # ---------------------------------------------------------------------------
@@ -218,15 +208,14 @@ def init_state(w: State, cfg: MimiConfig, batch: int, dtype=jnp.float32) -> Stat
         out_ch = ch // 2
         stages.append(
             {
-                "up": convtr_carry_init(batch, 2 * ratio, ratio, out_ch, dtype),
+                "up": convtr_carry_init(batch, ch, dtype),
                 "res1": conv_carry_init(batch, cfg.residual_kernel, 1, out_ch, dtype),
                 # res conv2 has k=1: no carry needed
             }
         )
         ch = out_ch
     return {
-        "up": convtr_carry_init(batch, cfg.upsample_kernel, cfg.upsample_stride,
-                                cfg.d_model, dtype),
+        "up": convtr_carry_init(batch, cfg.d_model, dtype),
         "ring": ring_init(cfg, batch, dtype),
         "dec_in": conv_carry_init(batch, cfg.kernel_size, 1,
                                   cfg.d_model, dtype),

@@ -109,7 +109,7 @@ def prepare_convtr_halves(w_torch: np.ndarray, groups: int):
     (upsample 32/16; stages 12/6, 10/5, 8/4 -- ptts_mimi.c:385-462).
 
     Returns (w1, w2):
-      groups == 1:  [Cin, s, Cout]  (einsum 'btc,csj->btsj')
+      groups == 1:  [Cin, s, Cout]  (fused to a k=2 frame conv in convtr1d_2s)
       depthwise:    [s, C]          (broadcast multiply)
     """
     in_ch, out_per_group, k = w_torch.shape
@@ -134,28 +134,39 @@ def convtr1d_2s(
     stride: int,
     depthwise: bool = False,
 ) -> jnp.ndarray:
-    """k == 2*stride transposed conv as two matmuls (see prepare_convtr_halves).
+    """k == 2*stride transposed conv via a k=2 conv over frames.
 
-    Matches convtr1d_causal's semantics (right-trimmed to T*stride): the
-    second-half taps of the last frame fall off the end, and position block 0
-    gets no second-half contribution (x[-1] is zero padding).
+    y[b, t*s + j, o] = x[b, t] . W1[:, j, o] + x[b, t-1] . W2[:, j, o],
+    i.e. a kernel-size-2 causal conv on the FRAME axis with s*Cout output
+    channels (one implicit GEMM [B*T, 2Cin] x [2Cin, s*Cout]), then a reshape.
+    Matches convtr1d_causal's semantics (right-trimmed to T*stride).
     """
     B, T, Cin = x.shape
     s = stride
     if depthwise:
-        # w: [s, C] -> y[b, t, j, c] = x[b, t, c] * w[j, c]
-        y1 = x[:, :, None, :] * w1[None, None].astype(x.dtype)
-        y2 = x[:, :, None, :] * w2[None, None].astype(x.dtype)
-        Cout = Cin
-    else:
-        y1 = jnp.einsum("btc,cjo->btjo", x, w1.astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-        y2 = jnp.einsum("btc,cjo->btjo", x, w2.astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-        Cout = w1.shape[-1]
-    # shift y2 down one frame: frame t's second-half taps land in frame t+1
-    y2 = jnp.concatenate([jnp.zeros_like(y2[:, :1]), y2[:, :-1]], axis=1)
-    y = (y1 + y2).reshape(B, T * s, Cout)
+        # small tensors (the 12.5->200 Hz upsample): broadcast multiply
+        y1 = (x[:, :, None, :] * w1[None, None].astype(x.dtype)).astype(x.dtype)
+        y2 = (x[:, :, None, :] * w2[None, None].astype(x.dtype)).astype(x.dtype)
+        y2 = jnp.concatenate([jnp.zeros_like(y2[:, :1]), y2[:, :-1]], axis=1)
+        y = (y1 + y2).reshape(B, T * s, Cin)
+        if bias is not None:
+            y = y + bias
+        return y.astype(x.dtype)
+
+    Cout = w1.shape[-1]
+    # kernel [2, Cin, s*Cout]: tap 0 sees x[t-1] (second-half taps), tap 1 x[t]
+    kernel = jnp.stack(
+        [w2.reshape(Cin, s * Cout), w1.reshape(Cin, s * Cout)], axis=0
+    ).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=[(1, 0)],
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)                      # [B, T, s*Cout]
+    y = y.reshape(B, T * s, Cout)
     if bias is not None:
         y = y + bias
     return y.astype(x.dtype)
