@@ -234,6 +234,14 @@ class TTSEngine:
         assert out.audio is not None
         return out.audio
 
+    def stats(self) -> dict:
+        """Observability: per-span timing summary (counts/totals/min/max),
+        the structured counterpart of the reference's PTTS_TIMING stderr
+        lines (ptts.c:31-44)."""
+        from ..utils.timing import GLOBAL_STATS
+
+        return GLOBAL_STATS.summary()
+
     def batch_generate(self, texts: Sequence[str],
                        voices: Optional[Sequence[Optional[str]]] = None,
                        params: Optional["api.Params"] = None) -> List[Audio]:
