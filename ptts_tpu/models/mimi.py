@@ -28,11 +28,9 @@ from ..ops.attention import causal_attention, windowed_attention_local
 from ..ops.conv import (
     conv1d_causal,
     convtr1d_2s,
-    convtr1d_causal,
     elu,
     prepare_conv_kernel,
     prepare_convtr_halves,
-    prepare_convtr_kernel,
 )
 from ..ops.norms import layernorm
 from ..ops.rope import rope_rotate
