@@ -156,3 +156,29 @@ def test_engine_pallas_fallback(ctx, monkeypatch):
         assert not engine.flags.use_pallas_decode_attention  # degraded
     finally:
         engine.flags = old_flags
+
+
+def test_long_form_auto_frames_and_eos(ctx):
+    """BASELINE config 'long-form synthesis': multi-sentence prompt, auto
+    frame estimation, EOS stop (tiny model; exercises big cache buckets)."""
+    text = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away to the hills where it meets another fox")
+    p = api.Params(seed=3, temp=0.4, eos_enabled=True, eos_threshold=-1e9,
+                   eos_min_frames=4, eos_after=2)
+    out = ctx.engine.generate_full(text, params=p, decode_audio=True)
+    # eos forced at frame 3 (min_frames=4 -> first check passes at idx 3),
+    # stop after 3+2=5 -> 6 frames
+    assert out.frames_used == 6
+    assert out.audio.num_samples == 6 * TINY_MIMI.frame_samples
+
+    # auto frame estimation: prompt has 21 words -> (21+2)*12.5 = 287 frames
+    from ptts_tpu.text import estimate_frames, prepare_text
+
+    _, wc, _ = prepare_text(text)
+    assert estimate_frames(wc) == int((wc + 2) * 12.5)
+
+
+def test_generate_voice_none(ctx):
+    p = api.Params(num_frames=2, num_steps=1, seed=5, temp=0.0)
+    audio = ctx.generate("hello world", voice="none", params=p)
+    assert audio.num_samples > 0
