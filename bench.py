@@ -19,6 +19,7 @@ PTTS_BENCH_DTYPE (f32|bf16, default bf16), PTTS_BENCH_REPEATS (default 3).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -70,10 +71,11 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
         rng.standard_normal((batch, frame_bucket, cfg.latent_dim)) * 0.8, dtype
     )
 
-    scale_and_decode = jax.jit(
-        lambda lat: mimi.decode(mw, flowlm.scale_latents(fw, lat[:, :frames]),
-                                mcfg)
-    )
+    # NB: weights must be ARGUMENTS of the jitted fn -- closing over large
+    # arrays inlines them as HLO constants and explodes compile time.
+    @functools.partial(jax.jit, static_argnames=())
+    def scale_and_decode(fw_, mw_, lat):
+        return mimi.decode(mw_, flowlm.scale_latents(fw_, lat[:, :frames]), mcfg)
 
     def pipeline(prefix, lengths, noise):
         # Three separately-jitted stages (the production engine's call
@@ -85,7 +87,7 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
             fw, cache, x0, noise, cfg, max_frames=frame_bucket, num_steps=1,
             eos_enabled=False,
         )
-        return scale_and_decode(res.latents)
+        return scale_and_decode(fw, mw, res.latents)
 
     def run_chained(n: int) -> float:
         """Run the pipeline n times back-to-back (each dependent on the
