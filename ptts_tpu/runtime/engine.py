@@ -63,9 +63,15 @@ class GenerateOutput:
 
 
 class TTSEngine:
-    def __init__(self, ctx: "api.Context", dtype=jnp.float32,
+    def __init__(self, ctx: "api.Context", dtype=None,
                  prefix_bucket: int = 64, frame_bucket: int = 64,
                  flags: Optional[KernelFlags] = None):
+        if dtype is None:
+            # f32 is the parity default (golden/flow-test harnesses); serving
+            # deployments set PTTS_DTYPE=bf16 for MXU throughput
+            # (quality bounded by tests/test_bf16.py).
+            dtype = jnp.bfloat16 if os.environ.get("PTTS_DTYPE") == "bf16" \
+                else jnp.float32
         self.ctx = ctx
         self.flowlm_cfg = ctx.flowlm_cfg
         self.mimi_cfg = ctx.mimi_cfg
@@ -146,6 +152,8 @@ class TTSEngine:
         elif noise.shape[1] < frames:
             pad = np.zeros((B, frames - noise.shape[1], cfg.latent_dim), np.float32)
             noise = np.concatenate([noise, pad], axis=1)
+        elif noise.shape[1] > frames:
+            noise = noise[:, :frames]
 
         max_len = T0 + frames
 

@@ -182,3 +182,29 @@ def test_generate_voice_none(ctx):
     p = api.Params(num_frames=2, num_steps=1, seed=5, temp=0.0)
     audio = ctx.generate("hello world", voice="none", params=p)
     assert audio.num_samples > 0
+
+
+def test_voice_rank2_audio_prompt(tmp_path):
+    """audio_prompt stored as [N, d] (rank 2) must also load (ptts.c:336-338)."""
+    from ptts_tpu.io.safetensors import save_safetensors
+
+    cond = np.random.default_rng(0).standard_normal((4, TINY_FLOWLM.d_model))
+    save_safetensors(str(tmp_path / "v.safetensors"),
+                     {"audio_prompt": cond.astype(np.float32)})
+    out, n = api.load_voice_conditioning(None, str(tmp_path / "v.safetensors"),
+                                         TINY_FLOWLM.d_model)
+    assert n == 4 and out.shape == (4, TINY_FLOWLM.d_model)
+    np.testing.assert_allclose(out, cond, rtol=1e-6)
+
+
+def test_engine_dtype_env(tmp_path, monkeypatch):
+    from helpers import write_model_dir
+    import jax.numpy as jnp
+
+    path, _, _ = write_model_dir(tmp_path / "m", seed=14)
+    monkeypatch.setenv("PTTS_DTYPE", "bf16")
+    ctx = api.Context(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
+    assert ctx.engine.dtype == jnp.bfloat16
+    monkeypatch.delenv("PTTS_DTYPE")
+    ctx2 = api.Context(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
+    assert ctx2.engine.dtype == jnp.float32
