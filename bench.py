@@ -59,8 +59,8 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
     frame_bucket = ((frames + 63) // 64) * 64
     max_len = T0 + frame_bucket
 
-    fw = flowlm.to_device(flowlm.random_weights(cfg, seed=0), dtype)
-    mw = mimi.to_device(mimi.random_weights(mcfg, seed=1), dtype)
+    fw = flowlm.to_device(flowlm.random_weights(cfg, seed=0), dtype, cfg)
+    mw = mimi.to_device(mimi.random_weights(mcfg, seed=1), dtype, mcfg)
 
     rng = np.random.default_rng(0)
     prefix = jnp.asarray(

@@ -33,7 +33,7 @@ from ..config import FlowLMConfig, KernelFlags
 from ..ops.activations import gelu_erf, silu
 from ..ops.attention import causal_attention, decode_attention
 from ..ops.norms import kyutai_rmsnorm, layernorm
-from ..ops.rope import rope_rotate
+from ..ops.rope import permute_qk_rows_for_rope, rope_rotate_halves
 
 DEFAULT_FLAGS = KernelFlags()
 
@@ -237,8 +237,23 @@ def random_weights(cfg: FlowLMConfig, seed: int = 0, scale: float = 0.02) -> Wei
     }
 
 
-def to_device(w: Weights, dtype=jnp.float32) -> Weights:
-    """Move the weight pytree to device arrays in the compute dtype."""
+def to_device(w: Weights, dtype=jnp.float32,
+              cfg: FlowLMConfig = FlowLMConfig()) -> Weights:
+    """Move the weight pytree to device arrays in the compute dtype.
+
+    Also permutes the Q/K rows of in_proj to the RoPE-halves layout (see
+    ops/rope.permute_qk_rows_for_rope) -- numerically identical attention,
+    contiguous-lane rotations. The model code below uses rope_rotate_halves,
+    so device weights MUST come through here.
+    """
+    assert w["in_proj"].shape[-2] == 3 * cfg.d_model, (
+        "to_device needs the matching FlowLMConfig for the RoPE permutation"
+    )
+    w = dict(w)
+    w["in_proj"] = permute_qk_rows_for_rope(
+        np.asarray(w["in_proj"]), cfg.num_heads, cfg.head_dim
+    )
+
     def conv(x):
         if x is None:
             return None
@@ -342,7 +357,7 @@ def prefill_kv(
         xn = layernorm(x, w["norm1_w"][l], w["norm1_b"][l], cfg.ln_eps)
         qkv = _linear(w["in_proj"][l], None, xn)
         q, k, v = _split_qkv(qkv, H, D)
-        q, k = rope_rotate(q, k, positions[None, :], cfg.max_period)
+        q, k = rope_rotate_halves(q, k, positions[None, :], cfg.max_period)
         attn = causal_attention(q, k, v, lengths=lengths)
         x = x + _linear(w["out_proj"][l], None, attn.reshape(B, T, d))
         xn = layernorm(x, w["norm2_w"][l], w["norm2_b"][l], cfg.ln_eps)
@@ -414,7 +429,7 @@ def decode_step(
         xn = layernorm(x, w["norm1_w"][l], w["norm1_b"][l], cfg.ln_eps)
         qkv = _linear(w["in_proj"][l], None, xn)
         q, k, v = _split_qkv(qkv, H, D)  # [B, H, D]
-        q, k = rope_rotate(q[:, None], k[:, None], pos[:, None], cfg.max_period)
+        q, k = rope_rotate_halves(q[:, None], k[:, None], pos[:, None], cfg.max_period)
         q, k = q[:, 0], k[:, 0]
 
         k_cache = jax.lax.dynamic_update_slice(

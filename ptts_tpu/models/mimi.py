@@ -33,7 +33,7 @@ from ..ops.conv import (
     prepare_convtr_halves,
 )
 from ..ops.norms import layernorm
-from ..ops.rope import rope_rotate
+from ..ops.rope import permute_qk_rows_for_rope, rope_rotate_halves
 
 Weights = Dict[str, Any]
 
@@ -254,8 +254,20 @@ def random_weights(cfg: MimiConfig, seed: int = 0, scale: float = 0.05) -> Weigh
     return w
 
 
-def to_device(w: Weights, dtype=jnp.float32) -> Weights:
+def to_device(w: Weights, dtype=jnp.float32,
+              cfg: MimiConfig = MimiConfig()) -> Weights:
+    """Device weights in the compute dtype, with the transformer's Q/K rows
+    permuted to the RoPE-halves layout (ops/rope.permute_qk_rows_for_rope);
+    the forward below uses rope_rotate_halves."""
     w = {k: v for k, v in w.items() if k != "_torch"}
+    tr = dict(w["transformer"])
+    assert tr["in_proj"].shape[-2] == 3 * cfg.num_heads * cfg.head_dim, (
+        "to_device needs the matching MimiConfig for the RoPE permutation"
+    )
+    tr["in_proj"] = permute_qk_rows_for_rope(
+        np.asarray(tr["in_proj"]), cfg.num_heads, cfg.head_dim
+    )
+    w["transformer"] = tr
 
     def conv(x):
         if x is None or isinstance(x, int):
@@ -294,7 +306,7 @@ def transformer(w: Weights, x: jnp.ndarray, cfg: MimiConfig,
         q = qkv[..., :d].reshape(B, T, H, D)
         k = qkv[..., d : 2 * d].reshape(B, T, H, D)
         v = qkv[..., 2 * d :].reshape(B, T, H, D)
-        q, k = rope_rotate(q, k, positions, cfg.max_period)
+        q, k = rope_rotate_halves(q, k, positions, cfg.max_period)
         # block-local windowed attention avoids the [B, H, T, T] score tensor
         # for long sequences; exact-equal to the naive masked form
         block = max(LOCAL_ATTN_BLOCK, cfg.context - 1)

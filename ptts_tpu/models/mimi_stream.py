@@ -29,7 +29,7 @@ from ..ops.activations import gelu_tanh
 from ..ops.attention import NEG_INF
 from ..ops.conv import conv1d_causal, elu
 from ..ops.norms import layernorm
-from ..ops.rope import rope_rotate
+from ..ops.rope import rope_rotate_halves
 
 RING = 384  # >= context (250) + per-frame positions (16); multiple of 128
 
@@ -168,7 +168,7 @@ def transformer_stream(
         q = qkv[..., :d].reshape(B, Tc, H, D)
         k = qkv[..., d : 2 * d].reshape(B, Tc, H, D)
         v = qkv[..., 2 * d :].reshape(B, Tc, H, D)
-        q, k = rope_rotate(q, k, positions, cfg.max_period)
+        q, k = rope_rotate_halves(q, k, positions, cfg.max_period)
 
         k_rings = k_rings.at[l].set(k_rings[l].at[batch_idx, slots].set(k))
         v_rings = v_rings.at[l].set(v_rings[l].at[batch_idx, slots].set(v))

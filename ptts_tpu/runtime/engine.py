@@ -87,8 +87,8 @@ class TTSEngine:
         self._input_linear = fw_host["input_linear"]
         self._bos_emb = fw_host["bos_emb"]
 
-        self.fw = flowlm.to_device(fw_host, dtype)
-        self.mw = mimi.to_device(mw_host, dtype)
+        self.fw = flowlm.to_device(fw_host, dtype, self.flowlm_cfg)
+        self.mw = mimi.to_device(mw_host, dtype, self.mimi_cfg)
 
         self._voice_cache: dict = {}
 

@@ -26,7 +26,7 @@ def test_flowlm_bf16_close_to_f32():
 
     results = {}
     for name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
-        dw = flowlm.to_device(w, dt)
+        dw = flowlm.to_device(w, dt, CFG)
         cache = flowlm.make_cache(CFG, B, T0 + FRAMES, dt)
         cache, x0 = flowlm.prefill(dw, cache, jnp.asarray(prefix, dt),
                                    jnp.asarray(lengths), CFG)
@@ -50,7 +50,7 @@ def test_mimi_bf16_close_to_f32():
 
     out = {}
     for name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
-        dw = mimi.to_device(w, dt)
+        dw = mimi.to_device(w, dt, MCFG)
         out[name] = np.asarray(mimi.decode(dw, jnp.asarray(lat, dt), MCFG), np.float32)
 
     diff = np.abs(out["bf16"] - out["f32"])

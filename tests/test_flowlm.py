@@ -21,7 +21,7 @@ def weights():
 
 @pytest.fixture(scope="module")
 def dweights(weights):
-    return flowlm.to_device(weights)
+    return flowlm.to_device(weights, cfg=CFG)
 
 
 def randn(*shape, scale=1.0):

@@ -20,7 +20,7 @@ def weights():
 
 @pytest.fixture(scope="module")
 def dweights(weights):
-    return mimi.to_device(weights)
+    return mimi.to_device(weights, cfg=CFG)
 
 
 def randn(*shape, scale=1.0):

@@ -15,7 +15,7 @@ RNG = np.random.default_rng(21)
 
 @pytest.fixture(scope="module")
 def dweights():
-    return mimi.to_device(mimi.random_weights(CFG, seed=5, scale=0.3))
+    return mimi.to_device(mimi.random_weights(CFG, seed=5, scale=0.3), cfg=CFG)
 
 
 def randn(*shape, scale=1.0):

@@ -45,7 +45,7 @@ def test_sharded_generation_matches_unsharded(mesh, weights):
     noise = (rng.standard_normal((B, FRAMES, CFG.latent_dim)) * 0.5).astype(np.float32)
 
     def run(device_put):
-        w = flowlm.to_device(weights)
+        w = flowlm.to_device(weights, cfg=CFG)
         cache = flowlm.make_cache(CFG, B, T0 + FRAMES)
         px, ln, nz = jnp.asarray(prefix), jnp.asarray(lengths), jnp.asarray(noise)
         if device_put:
@@ -74,7 +74,7 @@ def test_sharded_generation_matches_unsharded(mesh, weights):
 
 def test_sharded_mimi_decode(mesh):
     B, F = 8, 2
-    w = mimi.to_device(mimi.random_weights(MCFG, seed=4, scale=0.3))
+    w = mimi.to_device(mimi.random_weights(MCFG, seed=4, scale=0.3), cfg=MCFG)
     rng = np.random.default_rng(1)
     lat = (rng.standard_normal((B, F, MCFG.latent_dim)) * 0.5).astype(np.float32)
 
@@ -96,7 +96,7 @@ def test_stream_independence(mesh, weights):
     noise = (rng.standard_normal((B, FRAMES, CFG.latent_dim)) * 0.5).astype(np.float32)
     lengths = np.full((B,), T0, np.int32)
 
-    w = pmesh.shard_weights(mesh, flowlm.to_device(weights))
+    w = pmesh.shard_weights(mesh, flowlm.to_device(weights, cfg=CFG))
 
     def run(px):
         cache = pmesh.shard_cache(mesh, flowlm.make_cache(CFG, B, T0 + FRAMES))

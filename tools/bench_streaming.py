@@ -47,8 +47,8 @@ def main() -> int:
     mcfg = MimiConfig()
     B, T0, F = args.batch, args.prefix, args.frames
 
-    fw = flowlm.to_device(flowlm.random_weights(cfg, 0), dt)
-    mw = mimi.to_device(mimi.random_weights(mcfg, 1), dt)
+    fw = flowlm.to_device(flowlm.random_weights(cfg, 0), dt, cfg)
+    mw = mimi.to_device(mimi.random_weights(mcfg, 1), dt, mcfg)
     rng = np.random.default_rng(0)
     prefix = jnp.asarray(rng.standard_normal((B, T0, cfg.d_model)) * 0.02, dt)
     lengths = jnp.full((B,), T0, jnp.int32)
