@@ -208,3 +208,13 @@ def test_engine_dtype_env(tmp_path, monkeypatch):
     monkeypatch.delenv("PTTS_DTYPE")
     ctx2 = api.Context(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
     assert ctx2.engine.dtype == jnp.float32
+
+
+def test_prompt_longer_than_prefix_bucket(ctx):
+    """Prompts spilling into the second prefix bucket must still work."""
+    text = " ".join(["hello world how low"] * 18)  # ~90+ tokens
+    p = api.Params(num_frames=2, num_steps=1, seed=8, temp=0.0,
+                   eos_enabled=False)
+    out = ctx.engine.generate_full(text, params=p, decode_audio=False)
+    assert out.frames_used == 2
+    assert np.isfinite(out.latents).all()
