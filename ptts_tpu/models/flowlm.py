@@ -551,10 +551,15 @@ def lsd_decode(
 
 class GenResult(NamedTuple):
     latents: jnp.ndarray       # [B, F, latent_dim]
-    frames_used: jnp.ndarray   # [B] int32
+    frames_used: jnp.ndarray   # [B] int32 (cumulative across resumed chunks)
     eos_logits: jnp.ndarray    # [B, F]
     first_cond: jnp.ndarray    # [B, d_model] parity tap (--cond-out)
     first_flow: jnp.ndarray    # [B, latent_dim] parity tap (--flow-out)
+    # resumable state (chunked generation with host-side early exit):
+    cache: "KVCache" = None
+    x: jnp.ndarray = None            # [B, d_model] transformer output
+    eos_step: jnp.ndarray = None     # [B]
+    done: jnp.ndarray = None         # [B]
 
 
 def eos_logit(w: Weights, normed: jnp.ndarray) -> jnp.ndarray:
@@ -579,14 +584,24 @@ def generate_latents(
     eos_min_frames: int = 1,
     eos_after: jnp.ndarray | int = 0,
     flags: KernelFlags = DEFAULT_FLAGS,
+    frame0: jnp.ndarray | int = 0,
+    eos_step0: Optional[jnp.ndarray] = None,
+    done0: Optional[jnp.ndarray] = None,
+    used0: Optional[jnp.ndarray] = None,
 ) -> GenResult:
     """Per-frame loop as one lax.scan: out_norm -> EOS -> LSD -> input_linear
     -> KV decode step. Mirrors ptts_flowlm_generate_latents
     (ptts_flowlm.c:1138-1251) with per-stream EOS state carried on device.
+
+    Resumable: pass frame0/eos_step0/done0/used0 (and the returned
+    cache/x as the next call's cache/x0) to generate in chunks, letting the
+    host stop early once every stream is done -- the reference's break-at-EOS
+    (ptts_flowlm.c:1238) at chunk granularity.
     """
     B = x0.shape[0]
     time_embs = lsd_time_embeds(w, num_steps, cfg)
     eos_after = jnp.broadcast_to(jnp.asarray(eos_after, jnp.int32), (B,))
+    frame0 = jnp.asarray(frame0, jnp.int32)
 
     def frame(carry, inputs):
         cache, x, eos_step, done, used, first_cond, first_flow0 = carry
@@ -619,25 +634,29 @@ def generate_latents(
     init = (
         cache,
         x0,
-        jnp.full((B,), -1, jnp.int32),
-        jnp.zeros((B,), jnp.bool_),
-        jnp.zeros((B,), jnp.int32),
+        eos_step0 if eos_step0 is not None else jnp.full((B,), -1, jnp.int32),
+        done0 if done0 is not None else jnp.zeros((B,), jnp.bool_),
+        used0 if used0 is not None else jnp.zeros((B,), jnp.int32),
         jnp.zeros_like(x0),
         jnp.zeros((B, cfg.latent_dim), x0.dtype),
     )
-    idx = jnp.arange(max_frames)
+    idx = frame0 + jnp.arange(max_frames)
     carry, (lat, eos) = jax.lax.scan(frame, init, (idx, jnp.swapaxes(noise, 0, 1)))
     (cache, x, eos_step, done, used, first_cond, first_flow) = carry
 
     latents = jnp.swapaxes(lat, 0, 1)       # [B, F, latent]
     eos_logits = jnp.swapaxes(eos, 0, 1)    # [B, F]
-    frames_used = jnp.where(done, used, max_frames)
+    frames_used = jnp.where(done, used, frame0 + max_frames)
     return GenResult(
         latents=latents,
         frames_used=frames_used,
         eos_logits=eos_logits,
         first_cond=first_cond,
         first_flow=first_flow,
+        cache=cache,
+        x=x,
+        eos_step=eos_step,
+        done=done,
     )
 
 

@@ -156,6 +156,9 @@ class TTSEngine:
             noise = noise[:, :frames]
 
         max_len = T0 + frames
+        ea = jnp.asarray(
+            eos_after if eos_after is not None else params.eos_after, jnp.int32
+        )
 
         def run(flags):
             cache = flowlm.make_cache(cfg, B, max_len, self.dtype)
@@ -163,17 +166,45 @@ class TTSEngine:
                 self.fw, cache, jnp.asarray(padded, self.dtype),
                 jnp.asarray(lengths), cfg
             )
-            return flowlm.generate_latents(
-                self.fw, cache, x0, jnp.asarray(noise, self.dtype), cfg,
-                max_frames=frames, num_steps=params.num_steps,
-                eos_enabled=bool(params.eos_enabled),
-                eos_threshold=params.eos_threshold,
-                eos_min_frames=params.eos_min_frames,
-                eos_after=jnp.asarray(
-                    eos_after if eos_after is not None else params.eos_after,
-                    jnp.int32,
-                ),
-                flags=flags,
+            if not params.eos_enabled:
+                return flowlm.generate_latents(
+                    self.fw, cache, x0, jnp.asarray(noise, self.dtype), cfg,
+                    max_frames=frames, num_steps=params.num_steps,
+                    eos_enabled=False, eos_after=ea, flags=flags,
+                )
+            # Chunked generation with host-side early exit: once every stream
+            # has hit EOS, remaining chunks are skipped (the reference's
+            # break-at-EOS, ptts_flowlm.c:1238, at chunk granularity). One
+            # compiled chunk program serves all chunk indices.
+            chunk = self.frame_bucket
+            state = dict(frame0=0, eos_step0=None, done0=None, used0=None)
+            lat_parts, eos_parts = [], []
+            res = None
+            first = None
+            for c0 in range(0, frames, chunk):
+                res = flowlm.generate_latents(
+                    self.fw, cache, x0,
+                    jnp.asarray(noise[:, c0 : c0 + chunk], self.dtype), cfg,
+                    max_frames=chunk, num_steps=params.num_steps,
+                    eos_enabled=True,
+                    eos_threshold=params.eos_threshold,
+                    eos_min_frames=params.eos_min_frames,
+                    eos_after=ea, flags=flags, **state,
+                )
+                if first is None:
+                    first = res
+                lat_parts.append(res.latents)
+                eos_parts.append(res.eos_logits)
+                cache, x0 = res.cache, res.x
+                state = dict(frame0=c0 + chunk, eos_step0=res.eos_step,
+                             done0=res.done, used0=res.frames_used)
+                if bool(np.all(np.asarray(res.done))):
+                    break
+            return res._replace(
+                latents=jnp.concatenate(lat_parts, axis=1),
+                eos_logits=jnp.concatenate(eos_parts, axis=1),
+                first_cond=first.first_cond,
+                first_flow=first.first_flow,
             )
 
         try:
@@ -190,7 +221,7 @@ class TTSEngine:
             res = run(self.flags)
         # cap frames_used at the caller's true max (bucketing may exceed it)
         capped = jnp.minimum(res.frames_used, max_frames)
-        return res._replace(frames_used=capped)
+        return res._replace(frames_used=capped, cache=None, x=None)
 
     def decode_audio_batch(self, scaled_latents: jnp.ndarray) -> np.ndarray:
         """[B, F, 32] scaled latents -> PCM [B, F * 1920]."""

@@ -218,3 +218,28 @@ def test_prompt_longer_than_prefix_bucket(ctx):
     out = ctx.engine.generate_full(text, params=p, decode_audio=False)
     assert out.frames_used == 2
     assert np.isfinite(out.latents).all()
+
+
+def test_chunked_eos_generation_matches_unchunked(ctx, monkeypatch):
+    """EOS path generates in frame-bucket chunks with host early exit; results
+    must equal the single-scan path."""
+    text = "hello world how low hello"
+    p = api.Params(num_frames=20, num_steps=1, seed=77, temp=0.4,
+                   eos_enabled=True, eos_threshold=-1e9,
+                   eos_min_frames=3, eos_after=2)
+    # small buckets force multiple chunks (20 frames -> 3 chunks of 8)
+    engine = ctx.engine
+    old_fb = engine.frame_bucket
+    engine.frame_bucket = 8
+    try:
+        chunked = engine.generate_full(text, params=p, decode_audio=False)
+    finally:
+        engine.frame_bucket = old_fb
+
+    p_off = api.Params(**{**p.__dict__, "eos_enabled": False, "num_frames": 6})
+    ref = engine.generate_full(text, params=p_off, decode_audio=False)
+    # eos fires at frame 2 (min_frames=3 -> first check at idx 2), stop after
+    # 2+2=4 -> 5 frames
+    assert chunked.frames_used == 5
+    assert_close(chunked.latents, ref.latents[:5], atol=1e-4, rtol=1e-4)
+    assert_close(chunked.first_cond, ref.first_cond, atol=1e-5)
