@@ -12,6 +12,7 @@ native: ptts_tpu/native/libptts_host.so
 
 ptts_tpu/native/libptts_host.so: csrc/ptts_host.cpp
 	g++ -O2 -std=c++17 -shared -fPIC -o $@ $<
+	sha256sum csrc/ptts_host.cpp | cut -d' ' -f1 > $@.sha256
 
 # Hermetic test suite: CPU backend, virtual 8-device mesh (tests/conftest.py)
 test:
@@ -33,5 +34,5 @@ golden:
 	$(PY) tools/hello_world_test.py --model-dir $(PTTS_MODEL_DIR)
 
 clean:
-	rm -f ptts_tpu/native/libptts_host.so
+	rm -f ptts_tpu/native/libptts_host.so ptts_tpu/native/libptts_host.so.sha256
 	find . -name __pycache__ -type d -exec rm -rf {} +

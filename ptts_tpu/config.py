@@ -96,8 +96,10 @@ class KernelFlags:
     """
 
     use_pallas_decode_attention: bool = False
-    use_pallas_flownet: bool = False
-    use_pallas_conv: bool = False
+    # Mimi windowed attention: "auto" (Pallas on TPU), "pallas", or "local"
+    # (XLA block-local). Resolved once at engine construction
+    # (models/mimi.resolve_window_impl) and passed as a static arg.
+    window_impl: str = "auto"
     validate: bool = False  # run both paths, report maxdiff (PTTS_CUDA_VALIDATE analogue)
 
 

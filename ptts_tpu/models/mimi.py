@@ -41,13 +41,17 @@ Weights = Dict[str, Any]
 LOCAL_ATTN_BLOCK = 256
 
 
-def _window_impl() -> str:
-    """Windowed-attention implementation: 'pallas' (fused kernel, measured
-    1.85x the XLA block-local path on v5e), 'local', or 'naive'.
-    PTTS_PALLAS_WINDOW=0 forces the XLA path; default auto-selects Pallas on
-    TPU backends."""
+def resolve_window_impl(choice: str = "auto") -> str:
+    """Resolve the windowed-attention implementation: 'pallas' (fused kernel,
+    measured 1.85x the XLA block-local path on v5e) or 'local' (XLA
+    block-local). 'auto' consults PTTS_PALLAS_WINDOW then the backend
+    (Pallas on TPU). Must be called OUTSIDE traced code -- the result is
+    passed to decode()/transformer() as a static argument, so the choice is
+    explicit per call instead of baked silently into the first trace."""
     import os
 
+    if choice in ("pallas", "local"):
+        return choice
     v = os.environ.get("PTTS_PALLAS_WINDOW", "auto")
     if v == "0":
         return "local"
@@ -290,10 +294,13 @@ def _linear(w, b, x):
 
 
 def transformer(w: Weights, x: jnp.ndarray, cfg: MimiConfig,
-                positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                positions: Optional[jnp.ndarray] = None,
+                window_impl: str = "local") -> jnp.ndarray:
     """Windowed-causal depth transformer with LayerScale.
 
-    x: [B, T, d_model]. Mirrors ptts_mimi.c:301-376.
+    x: [B, T, d_model]. Mirrors ptts_mimi.c:301-376. ``window_impl`` is a
+    pre-resolved static choice (see resolve_window_impl) -- never an env read
+    inside the trace.
     """
     B, T, d = x.shape
     H, D = cfg.num_heads, cfg.head_dim
@@ -311,7 +318,7 @@ def transformer(w: Weights, x: jnp.ndarray, cfg: MimiConfig,
         # for long sequences; exact-equal to the naive masked form
         block = max(LOCAL_ATTN_BLOCK, cfg.context - 1)
         if T > block:
-            if _window_impl() == "pallas":
+            if window_impl == "pallas":
                 from ..ops.pallas.window_attention import windowed_attention_pallas
 
                 attn = windowed_attention_pallas(
@@ -354,17 +361,30 @@ def conv_stack(w: Weights, x: jnp.ndarray, cfg: MimiConfig) -> jnp.ndarray:
     return conv1d_causal(x, w["dec_out_kernel"], w["dec_out_bias"])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def decode(w: Weights, latents: jnp.ndarray, cfg: MimiConfig) -> jnp.ndarray:
-    """Latents [B, F, latent_dim] -> PCM [B, F * frame_samples].
-
-    Full pipeline of ptts_mimi_decode (ptts_mimi.c:570-738).
-    """
+@functools.partial(jax.jit, static_argnames=("cfg", "window_impl"))
+def _decode_jit(w: Weights, latents: jnp.ndarray, cfg: MimiConfig,
+                window_impl: str) -> jnp.ndarray:
     # quantizer output proj (1x1 conv, no bias)
     x = _linear(w["quant_w"], None, latents)  # [B, F, 512]
     # depthwise transposed upsample 12.5 Hz -> 200 Hz (k=2s matmul form)
     x = convtr1d_2s(x, w["upsample_w1"], w["upsample_w2"], None,
                     stride=cfg.upsample_stride, depthwise=True)
-    x = transformer(w["transformer"], x, cfg)
+    x = transformer(w["transformer"], x, cfg, window_impl=window_impl)
     y = conv_stack(w, x, cfg)  # [B, T*samples, 1]
     return y[..., 0]
+
+
+def decode(w: Weights, latents: jnp.ndarray, cfg: MimiConfig,
+           window_impl: Optional[str] = None) -> jnp.ndarray:
+    """Latents [B, F, latent_dim] -> PCM [B, F * frame_samples].
+
+    Full pipeline of ptts_mimi_decode (ptts_mimi.c:570-738). The windowed-
+    attention implementation is resolved here, outside the trace (None ->
+    resolve_window_impl()); each choice gets its own compiled executable, so
+    flipping the flag between calls actually takes effect."""
+    if window_impl is None:
+        window_impl = resolve_window_impl()
+    return _decode_jit(w, latents, cfg, window_impl)
+
+
+decode.clear_cache = _decode_jit.clear_cache  # tests poke the jit cache

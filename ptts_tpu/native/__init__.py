@@ -8,6 +8,7 @@ works without a compiler. Use ``native.available()`` to check.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -18,6 +19,7 @@ import numpy as np
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "csrc", "ptts_host.cpp")
 _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libptts_host.so")
+_STAMP = _SO + ".sha256"  # source hash the existing .so was built from
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -25,15 +27,28 @@ _tried = False
 
 
 def _build() -> Optional[str]:
+    """Build (or reuse) the shared object, keyed on a content hash of the
+    source -- mtimes are unreliable after git checkouts, and the binary is
+    never committed (reproducibility), so a stale or foreign .so without a
+    matching stamp is always rebuilt."""
     if not os.path.isfile(_SRC):
         return None
-    if os.path.isfile(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
+    with open(_SRC, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()
+    if os.path.isfile(_SO) and os.path.isfile(_STAMP):
+        try:
+            with open(_STAMP) as f:
+                if f.read().strip() == src_hash:
+                    return _SO
+        except OSError:
+            pass
     try:
         subprocess.run(
             ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        with open(_STAMP, "w") as f:
+            f.write(src_hash + "\n")
         return _SO
     except (subprocess.SubprocessError, OSError):
         return None

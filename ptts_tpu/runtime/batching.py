@@ -114,7 +114,8 @@ def admit_slots(
 
 @functools.partial(jax.jit, static_argnames=("prefix_budget",),
                    donate_argnames=("cache",))
-def compact_cache(cache: flowlm.KVCache, prefix_budget: int) -> flowlm.KVCache:
+def compact_cache(cache: flowlm.KVCache, done: jnp.ndarray,
+                  prefix_budget: int) -> flowlm.KVCache:
     """Right-align every stream's decode columns against a fresh cursor.
 
     Stream b's decode region [start_b, cursor) (n_b columns) moves to
@@ -122,9 +123,14 @@ def compact_cache(cache: flowlm.KVCache, prefix_budget: int) -> flowlm.KVCache:
     The validity invariant (prefix | [start, cursor)) is preserved, so this is
     transparent to attention. One gather over the cache; run when the cursor
     nears Tmax.
+
+    ``done`` [B] marks finished (or never-used) slots: their dead decode span
+    is reclaimed (n_b = 0), so a long-finished stream can't pin new_cursor at
+    the old cursor and defeat compaction.
     """
     L, B, Tmax, H, D = cache.k.shape
-    n = cache.cursor - cache.start                   # [B] decode cols per stream
+    # decode cols per stream; finished slots contribute nothing
+    n = jnp.where(done, 0, cache.cursor - cache.start)
     new_cursor = prefix_budget + jnp.max(n)
     new_start = new_cursor - n                        # [B]
 
@@ -264,7 +270,7 @@ class ContinuousBatcher:
         if not active_slots:
             return 0
         if int(self.cache.cursor) >= self.max_len:
-            self.cache = compact_cache(self.cache, self.prefix_budget)
+            self.cache = compact_cache(self.cache, self.done, self.prefix_budget)
             if int(self.cache.cursor) >= self.max_len:
                 raise api.PttsError(
                     "cache exhausted even after compaction; raise max_len"

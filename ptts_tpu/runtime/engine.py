@@ -35,6 +35,9 @@ def flags_from_env() -> KernelFlags:
     kernel; PTTS_VALIDATE=1 runs both paths and prints maxdiffs."""
     return KernelFlags(
         use_pallas_decode_attention=os.environ.get("PTTS_PALLAS_ATTN", "0") == "1",
+        window_impl={"0": "local", "1": "pallas"}.get(
+            os.environ.get("PTTS_PALLAS_WINDOW", "auto"), "auto"
+        ),
         validate=os.environ.get("PTTS_VALIDATE", "0") == "1",
     )
 from ..io.wav import Audio
@@ -47,6 +50,22 @@ from .. import api
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _is_pallas_failure(exc: BaseException) -> bool:
+    """True iff the exception plausibly comes from Pallas/Mosaic kernel
+    compilation or launch (the only failures the engine's XLA-fallback should
+    absorb). Anything else -- OOM, shape errors, bad prompts -- must propagate
+    unchanged."""
+    seen = set()
+    e: Optional[BaseException] = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        text = f"{type(e).__module__}.{type(e).__name__}: {e}"
+        if any(s in text for s in ("Mosaic", "mosaic", "Pallas", "pallas")):
+            return True
+        e = e.__cause__ or e.__context__
+    return False
 
 
 @dataclasses.dataclass
@@ -79,6 +98,8 @@ class TTSEngine:
         self.prefix_bucket = prefix_bucket
         self.frame_bucket = frame_bucket
         self.flags = flags if flags is not None else flags_from_env()
+        # resolve the Mimi windowed-attention impl once, outside any trace
+        self.window_impl = mimi.resolve_window_impl(self.flags.window_impl)
 
         fw_host = flowlm.load_weights(ctx.weights, self.flowlm_cfg)
         mw_host = mimi.load_weights(ctx.weights, self.mimi_cfg)
@@ -209,12 +230,20 @@ class TTSEngine:
 
         try:
             res = run(self.flags)
-        except Exception:
+        except Exception as e:
             # Graceful degradation, the reference's backend-fallback pattern
             # (ptts_kernels.c:70-81): a failing Pallas kernel permanently
-            # drops this engine to the XLA path.
-            if not self.flags.use_pallas_decode_attention:
+            # drops this engine to the XLA path. Only Pallas/Mosaic failures
+            # qualify; anything else propagates unchanged.
+            if (not self.flags.use_pallas_decode_attention
+                    or not _is_pallas_failure(e)):
                 raise
+            import warnings
+
+            warnings.warn(
+                f"[ptts] Pallas decode kernel failed ({type(e).__name__}: {e}); "
+                "permanently degrading this engine to the XLA path"
+            )
             self.flags = dataclasses.replace(
                 self.flags, use_pallas_decode_attention=False
             )
@@ -225,7 +254,10 @@ class TTSEngine:
 
     def decode_audio_batch(self, scaled_latents: jnp.ndarray) -> np.ndarray:
         """[B, F, 32] scaled latents -> PCM [B, F * 1920]."""
-        return np.asarray(mimi.decode(self.mw, scaled_latents, self.mimi_cfg))
+        return np.asarray(
+            mimi.decode(self.mw, scaled_latents, self.mimi_cfg,
+                        window_impl=self.window_impl)
+        )
 
     def generate_full(self, text: str, voice: Optional[str] = None,
                       params: Optional["api.Params"] = None,

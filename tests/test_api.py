@@ -158,6 +158,47 @@ def test_engine_pallas_fallback(ctx, monkeypatch):
         engine.flags = old_flags
 
 
+def test_engine_non_pallas_error_propagates(ctx, monkeypatch):
+    """Errors unrelated to Pallas/Mosaic must NOT be swallowed by the
+    degradation path (ADVICE r1): no silent re-run, original exception
+    surfaces."""
+    from ptts_tpu.config import KernelFlags
+    from ptts_tpu.models import pallas_compat
+    from ptts_tpu.runtime.engine import _is_pallas_failure
+
+    assert _is_pallas_failure(RuntimeError("Mosaic failed to compile"))
+    assert _is_pallas_failure(ValueError("pallas lowering error"))
+    assert not _is_pallas_failure(ValueError("bad prompt shape"))
+    # cause chains are walked
+    try:
+        try:
+            raise RuntimeError("mosaic internal")
+        except RuntimeError as inner:
+            raise ValueError("wrapped") from inner
+    except ValueError as outer:
+        assert _is_pallas_failure(outer)
+
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise ValueError("totally unrelated failure")
+
+    monkeypatch.setattr(pallas_compat, "pallas_decode_attention", boom)
+    engine = ctx.engine
+    old_flags = engine.flags
+    engine.flags = KernelFlags(use_pallas_decode_attention=True)
+    try:
+        p = api.Params(num_frames=2, num_steps=1, seed=1, temp=0.0,
+                       eos_enabled=False)
+        with pytest.raises(ValueError, match="totally unrelated"):
+            engine.generate_full("hello", params=p, decode_audio=False)
+        assert len(calls) == 1  # not re-run with Pallas disabled
+        assert engine.flags.use_pallas_decode_attention  # not degraded
+    finally:
+        engine.flags = old_flags
+
+
 def test_long_form_auto_frames_and_eos(ctx):
     """BASELINE config 'long-form synthesis': multi-sentence prompt, auto
     frame estimation, EOS stop (tiny model; exercises big cache buckets)."""

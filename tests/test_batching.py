@@ -65,6 +65,37 @@ def test_eos_frees_slots(ctx):
     assert results[r1].frames == 3
 
 
+def test_compaction_reclaims_finished_slots(ctx):
+    """A stream that finished early must not pin the cursor: its dead decode
+    span (start stays fixed while the shared cursor advances with live
+    streams) is reclaimed by compaction (ADVICE r1: compact_cache must consult
+    ``done``)."""
+    batcher = ContinuousBatcher(ctx.engine, slots=2, max_len=48,
+                                admit_chunk=2, prefix_budget=32)
+
+    def p(frames, seed):
+        return api.Params(num_frames=frames, num_steps=1, seed=seed, temp=0.4,
+                          eos_enabled=False)
+
+    # A long (14 frames) + B short (2 frames): B's slot frees at cursor 34 but
+    # keeps start=32 while A drives the cursor to 46. C then D reuse the slot;
+    # D (admitted near cursor 46) forces a compaction at cursor 48 where the
+    # only LIVE span is D's 2 columns -- the old code computed max span over
+    # done slots too and raised "cache exhausted".
+    specs = [("hello world", 14), ("how low", 2), ("hello hello", 8),
+             ("world world", 8)]
+    rids = [batcher.submit(t, params=p(f, 70 + i))
+            for i, (t, f) in enumerate(specs)]
+    results = batcher.drain()
+    for i, (rid, (text, frames)) in enumerate(zip(rids, specs)):
+        p_off = api.Params(num_frames=frames, num_steps=1,
+                           seed=70 + i + rid, temp=0.4, eos_enabled=False)
+        want = _offline(ctx, text, p_off)
+        assert results[rid].frames == frames, text
+        assert_close(results[rid].audio, want.samples, atol=3e-4, rtol=3e-4,
+                     msg=text)
+
+
 def test_cache_compaction(ctx):
     """Force cursor exhaustion so compact_cache runs mid-stream; outputs must
     still match offline generation exactly."""
