@@ -3,7 +3,7 @@
 PY ?= python
 TEST_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
 
-.PHONY: all native test test-fast bench bench-streaming golden clean
+.PHONY: all native test test-fast bench bench-streaming golden parity clean
 
 all: native
 
@@ -32,6 +32,12 @@ bench-streaming:
 # Golden "Hello world!" regression (needs model assets; exits 77 = skip)
 golden:
 	$(PY) tools/hello_world_test.py --model-dir $(PTTS_MODEL_DIR)
+
+# EXECUTED parity vs the reference C binary: builds /root/reference out of
+# tree, generates a full-size synthetic checkpoint, gates tokens/latents/
+# cond/flow/EOS/WAV/bf16 (tools/ref_parity.py; exits 77 = reference absent)
+parity:
+	$(TEST_ENV) $(PY) tools/ref_parity.py
 
 clean:
 	rm -f ptts_tpu/native/libptts_host.so ptts_tpu/native/libptts_host.so.sha256

@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="Pocket-TTS TPU (JAX/XLA/Pallas)",
         add_help=True,
     )
+    # Accept scientific-notation negatives ("--eos-threshold -1e9") like the
+    # reference's getopt does; argparse's default matcher only covers plain
+    # decimals.
+    import re
+
+    p._negative_number_matcher = re.compile(r"^-\d+$|^-\d*\.\d+$|^-\d+\.?\d*[eE][-+]?\d+$")
     p.add_argument("-d", "--dir", help="Model directory or .safetensors file")
     p.add_argument("-p", "--prompt", help="Text to synthesize")
     p.add_argument("-o", "--output", help="Output WAV path")
