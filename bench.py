@@ -71,25 +71,42 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
         rng.standard_normal((batch, frame_bucket, cfg.latent_dim)) * 0.8, dtype
     )
 
+    # Ragged early-exit case: EOS fires at frame 0, per-stream eos_after
+    # spreads the stop over [10, frames] -> frames_used = eos_after + 1.
+    ragged_after = jnp.asarray(
+        9 + (np.arange(batch) * (frames - 10) // max(batch - 1, 1)), jnp.int32
+    )
+
     # NB: weights must be ARGUMENTS of the jitted fn -- closing over large
     # arrays inlines them as HLO constants and explodes compile time.
     @functools.partial(jax.jit, static_argnames=())
     def scale_and_decode(fw_, mw_, lat):
         return mimi.decode(mw_, flowlm.scale_latents(fw_, lat[:, :frames]), mcfg)
 
-    def pipeline(prefix, lengths, noise):
+    def pipeline(prefix, lengths, noise, eos_mode: str):
         # Three separately-jitted stages (the production engine's call
         # pattern). One monolithic jit of the whole pipeline measured the
         # same runtime but 100x the XLA compile time.
         cache = flowlm.make_cache(cfg, batch, max_len, dtype)
         cache, x0 = flowlm.prefill(fw, cache, prefix, lengths, cfg)
-        res = flowlm.generate_latents(
-            fw, cache, x0, noise, cfg, max_frames=frame_bucket, num_steps=1,
-            eos_enabled=False,
-        )
-        return scale_and_decode(fw, mw, res.latents)
+        if eos_mode == "off":
+            res = flowlm.generate_latents(
+                fw, cache, x0, noise, cfg, max_frames=frame_bucket,
+                num_steps=1, eos_enabled=False,
+            )
+        else:
+            # the engine's serving path: on-device lax.while_loop with full
+            # per-frame EOS bookkeeping (ptts_flowlm.c:1207-1238 semantics)
+            res = flowlm.generate_latents_while(
+                fw, cache, x0, noise, cfg, max_frames=frame_bucket,
+                num_steps=1,
+                eos_threshold=1e9 if eos_mode == "on" else -1e9,
+                eos_min_frames=1,
+                eos_after=ragged_after if eos_mode == "ragged" else 0,
+            )
+        return scale_and_decode(fw, mw, res.latents), res.frames_used
 
-    def run_chained(n: int) -> float:
+    def run_chained(n: int, eos_mode: str) -> float:
         """Run the pipeline n times back-to-back (each dependent on the
         previous via a data tap) and sync with a HOST READBACK. Through the
         axon tunnel block_until_ready() returns before device execution
@@ -98,47 +115,60 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
         t0 = time.perf_counter()
         tap = jnp.zeros((), jnp.float32)
         px = prefix
+        used = None
         for _ in range(n):
-            pcm = pipeline(px + tap.astype(dtype) * 0, lengths, noise)
+            pcm, used = pipeline(px + tap.astype(dtype) * 0, lengths, noise,
+                                 eos_mode)
             tap = jnp.sum(pcm[:1, :8].astype(jnp.float32))
         float(tap)  # host readback = fence
+        run_chained.last_used = np.asarray(used)
         return time.perf_counter() - t0
 
-    t_compile = time.perf_counter()
-    run_chained(1)
-    compile_s = time.perf_counter() - t_compile
-    if verbose:
-        print(f"[bench] warmup+compile: {compile_s:.1f}s", file=sys.stderr)
+    def measure(eos_mode: str):
+        t_compile = time.perf_counter()
+        run_chained(1, eos_mode)
+        compile_s = time.perf_counter() - t_compile
+        walls = []
+        for _ in range(repeats):
+            t1 = run_chained(1, eos_mode)
+            t3 = run_chained(3, eos_mode)
+            walls.append((t3 - t1) / 2)  # slope: fixed costs cancel
+        wall = min(walls)
+        # emitted audio only (ragged EOS emits fewer frames per stream)
+        audio_seconds = float(np.minimum(run_chained.last_used, frames).sum()) \
+            / mcfg.frame_rate
+        streams = audio_seconds / wall
+        if verbose:
+            print(
+                f"[bench] eos={eos_mode}: B={batch} frames={frames} "
+                f"dtype={dtype_name} wall={wall:.3f}s compile={compile_s:.1f}s "
+                f"-> {streams:.1f} streams/chip",
+                file=sys.stderr,
+            )
+        return streams, wall, compile_s
 
-    walls = []
-    for _ in range(repeats):
-        t1 = run_chained(1)
-        t3 = run_chained(3)
-        walls.append((t3 - t1) / 2)  # slope: per-run time, fixed costs cancel
-    wall = min(walls)
+    # Headline = the honest serving path: full per-frame EOS bookkeeping in
+    # the on-device while_loop, no stream exiting early (worst case).
+    streams_on, wall_on, compile_on = measure("on")
+    streams_off, wall_off, compile_off = measure("off")
+    streams_ragged, wall_ragged, _ = measure("ragged")
 
-    audio_seconds = frames / mcfg.frame_rate  # per stream
-    streams = batch * audio_seconds / wall
-    xrt = streams  # aggregate real-time factor per chip
-    if verbose:
-        print(
-            f"[bench] B={batch} frames={frames} dtype={dtype_name} "
-            f"wall={wall:.3f}s audio={audio_seconds:.1f}s/stream "
-            f"-> {streams:.1f} streams/chip",
-            file=sys.stderr,
-        )
     return {
         "metric": "concurrent_realtime_streams",
-        "value": round(float(streams), 2),
+        "value": round(float(streams_on), 2),
         "unit": "streams/chip",
-        "vs_baseline": round(float(streams) / 200.0, 3),
+        "vs_baseline": round(float(streams_on) / 200.0, 3),
         "detail": {
             "batch": batch,
             "frames": frames,
             "dtype": dtype_name,
-            "wall_s": round(wall, 4),
-            "compile_s": round(compile_s, 1),
+            "wall_s": round(wall_on, 4),
+            "compile_s": round(compile_on + compile_off, 1),
             "platform": jax.default_backend(),
+            "eos_off_streams": round(float(streams_off), 2),
+            "eos_on_vs_off": round(float(streams_on / streams_off), 4),
+            "ragged_eos_streams": round(float(streams_ragged), 2),
+            "ragged_wall_s": round(wall_ragged, 4),
         },
     }
 
@@ -152,7 +182,7 @@ def main() -> int:
 
     result = None
     b = batch
-    while b >= 8:
+    while b >= 1:
         try:
             result = run_bench(b, frames, dtype, repeats)
             break

@@ -660,6 +660,103 @@ def generate_latents(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_frames", "num_steps", "flags"),
+    donate_argnames=("cache",),
+)
+def generate_latents_while(
+    w: Weights,
+    cache: KVCache,            # prefilled (see prefill)
+    x0: jnp.ndarray,           # [B, d_model] transformer output at BOS
+    noise: jnp.ndarray,        # [B, max_frames, latent_dim]
+    cfg: FlowLMConfig,
+    max_frames: int,
+    num_steps: int,
+    eos_threshold: float = -4.0,
+    eos_min_frames: int = 1,
+    eos_after: jnp.ndarray | int = 0,
+    max_frames_per_stream: Optional[jnp.ndarray] = None,  # [B] optional
+    flags: KernelFlags = DEFAULT_FLAGS,
+) -> GenResult:
+    """EOS-enabled generation as one on-device lax.while_loop: the loop stops
+    the moment every stream is done -- the reference's per-frame break at EOS
+    (ptts_flowlm.c:1238), with zero host round trips (the chunked host-exit
+    path paid up to frame_bucket-1 wasted frames per utterance).
+
+    Emits the same latents/eos/taps as generate_latents for all frames up to
+    max(frames_used); later frames stay zero in the output buffers.
+    """
+    B = x0.shape[0]
+    time_embs = lsd_time_embeds(w, num_steps, cfg)
+    eos_after = jnp.broadcast_to(jnp.asarray(eos_after, jnp.int32), (B,))
+    noise_t = jnp.swapaxes(noise, 0, 1)  # [F, B, latent]
+
+    def cond_fn(state):
+        i, _, _, _, done, *_ = state
+        return (i < max_frames) & ~jnp.all(done)
+
+    def body_fn(state):
+        (i, cache, x, eos_step, done, used, latents, eos_logits,
+         first_cond, first_flow0) = state
+
+        normed = layernorm(x, w["out_norm_w"], w["out_norm_b"], cfg.ln_eps)
+        eos = eos_logit(w, normed)  # [B]
+        hit = ((i + 1) >= eos_min_frames) & (eos >= eos_threshold)
+        eos_step = jnp.where((eos_step < 0) & hit, i, eos_step)
+
+        frame_noise = jax.lax.dynamic_index_in_dim(noise_t, i, axis=0,
+                                                   keepdims=False)
+        latent, first_flow = lsd_decode(w, normed, time_embs, frame_noise, cfg)
+
+        first_cond = jnp.where(i == 0, normed, first_cond)
+        first_flow0 = jnp.where(i == 0, first_flow, first_flow0)
+
+        newly_done = (eos_step >= 0) & (i >= eos_step + eos_after)
+        if max_frames_per_stream is not None:
+            newly_done = newly_done | (i + 1 >= max_frames_per_stream)
+        used = jnp.where(done, used, i + 1)
+        done = done | newly_done
+
+        latents = jax.lax.dynamic_update_index_in_dim(
+            latents, latent.astype(latents.dtype), i, axis=1)
+        eos_logits = jax.lax.dynamic_update_index_in_dim(
+            eos_logits, eos.astype(eos_logits.dtype), i, axis=1)
+
+        nxt = _linear(w["input_linear"], None, latent)
+        cache, x = decode_step(w, cache, nxt, cfg, flags)
+        return (i + 1, cache, x, eos_step, done, used, latents, eos_logits,
+                first_cond, first_flow0)
+
+    init = (
+        jnp.asarray(0, jnp.int32),
+        cache,
+        x0,
+        jnp.full((B,), -1, jnp.int32),
+        jnp.zeros((B,), jnp.bool_),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, max_frames, cfg.latent_dim), x0.dtype),
+        jnp.zeros((B, max_frames), jnp.float32),
+        jnp.zeros_like(x0),
+        jnp.zeros((B, cfg.latent_dim), x0.dtype),
+    )
+    (i, cache, x, eos_step, done, used, latents, eos_logits,
+     first_cond, first_flow) = jax.lax.while_loop(cond_fn, body_fn, init)
+
+    frames_used = jnp.where(done, used, max_frames)
+    return GenResult(
+        latents=latents,
+        frames_used=frames_used,
+        eos_logits=eos_logits,
+        first_cond=first_cond,
+        first_flow=first_flow,
+        cache=cache,
+        x=x,
+        eos_step=eos_step,
+        done=done,
+    )
+
+
 def scale_latents(w: Weights, latents: jnp.ndarray) -> jnp.ndarray:
     """x * emb_std + emb_mean (ptts_flowlm.c:1253-1263)."""
     return latents * w["emb_std"] + w["emb_mean"]

@@ -193,39 +193,17 @@ class TTSEngine:
                     max_frames=frames, num_steps=params.num_steps,
                     eos_enabled=False, eos_after=ea, flags=flags,
                 )
-            # Chunked generation with host-side early exit: once every stream
-            # has hit EOS, remaining chunks are skipped (the reference's
-            # break-at-EOS, ptts_flowlm.c:1238, at chunk granularity). One
-            # compiled chunk program serves all chunk indices.
-            chunk = self.frame_bucket
-            state = dict(frame0=0, eos_step0=None, done0=None, used0=None)
-            lat_parts, eos_parts = [], []
-            res = None
-            first = None
-            for c0 in range(0, frames, chunk):
-                res = flowlm.generate_latents(
-                    self.fw, cache, x0,
-                    jnp.asarray(noise[:, c0 : c0 + chunk], self.dtype), cfg,
-                    max_frames=chunk, num_steps=params.num_steps,
-                    eos_enabled=True,
-                    eos_threshold=params.eos_threshold,
-                    eos_min_frames=params.eos_min_frames,
-                    eos_after=ea, flags=flags, **state,
-                )
-                if first is None:
-                    first = res
-                lat_parts.append(res.latents)
-                eos_parts.append(res.eos_logits)
-                cache, x0 = res.cache, res.x
-                state = dict(frame0=c0 + chunk, eos_step0=res.eos_step,
-                             done0=res.done, used0=res.frames_used)
-                if bool(np.all(np.asarray(res.done))):
-                    break
-            return res._replace(
-                latents=jnp.concatenate(lat_parts, axis=1),
-                eos_logits=jnp.concatenate(eos_parts, axis=1),
-                first_cond=first.first_cond,
-                first_flow=first.first_flow,
+            # EOS path: one on-device lax.while_loop that stops the moment
+            # every stream is done -- the reference's per-frame break at EOS
+            # (ptts_flowlm.c:1238) with zero host round trips (replaces the
+            # round-1 chunked host-early-exit loop, which paid up to
+            # frame_bucket-1 wasted frames per utterance).
+            return flowlm.generate_latents_while(
+                self.fw, cache, x0, jnp.asarray(noise, self.dtype), cfg,
+                max_frames=frames, num_steps=params.num_steps,
+                eos_threshold=params.eos_threshold,
+                eos_min_frames=params.eos_min_frames,
+                eos_after=ea, flags=flags,
             )
 
         try:

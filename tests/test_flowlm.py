@@ -192,6 +192,71 @@ def test_generate_eos_semantics(weights, dweights):
     assert_close(res.latents[0, :used], want["latents"], atol=1e-4, rtol=1e-4)
 
 
+def test_while_loop_generation_matches_scan(weights, dweights):
+    """The on-device while_loop EOS generator (engine's serving path) must
+    reproduce the scan path exactly: latents, frames_used, eos state, taps --
+    including ragged per-stream EOS in a batch."""
+    max_frames = 8
+    B = 3
+    prefixes = [_build_prefix(weights, np.array(t, np.int32), None)
+                for t in ([1, 2], [3], [2, 4, 5])]
+    T0 = max(len(p) for p in prefixes)
+    padded = np.zeros((B, T0, CFG.d_model), np.float32)
+    for b, p in enumerate(prefixes):
+        padded[b, : len(p)] = p
+    lengths = jnp.asarray([len(p) for p in prefixes], jnp.int32)
+    noise = np.stack([frame_noise(5 + b, max_frames, CFG.latent_dim, temp=0.5)
+                      for b in range(B)])
+    kwargs = dict(eos_threshold=-1e9, eos_min_frames=2)
+    eos_after = jnp.asarray([3, 1, 4], jnp.int32)  # ragged finish times
+
+    def fresh():
+        cache = flowlm.make_cache(CFG, B, T0 + max_frames)
+        return flowlm.prefill(dweights, cache, jnp.asarray(padded), lengths, CFG)
+
+    cache, x0 = fresh()
+    scan = flowlm.generate_latents(
+        dweights, cache, x0, jnp.asarray(noise), CFG,
+        max_frames=max_frames, num_steps=1, eos_enabled=True,
+        eos_after=eos_after, **kwargs
+    )
+    cache, x0 = fresh()
+    wl = flowlm.generate_latents_while(
+        dweights, cache, x0, jnp.asarray(noise), CFG,
+        max_frames=max_frames, num_steps=1, eos_after=eos_after, **kwargs
+    )
+    assert np.array_equal(np.asarray(wl.frames_used), np.asarray(scan.frames_used))
+    assert np.array_equal(np.asarray(wl.eos_step), np.asarray(scan.eos_step))
+    hi = int(np.max(np.asarray(wl.frames_used)))
+    # eos fires at idx 1; last stream stops at 1+4 -> hi = 6 < max_frames,
+    # so the loop actually exited early on device
+    assert hi == 6
+    assert_close(wl.latents[:, :hi], scan.latents[:, :hi], atol=0, rtol=0)
+    assert_close(wl.eos_logits[:, :hi], scan.eos_logits[:, :hi], atol=0, rtol=0)
+    assert_close(wl.first_cond, scan.first_cond, atol=0, rtol=0)
+    assert_close(wl.first_flow, scan.first_flow, atol=0, rtol=0)
+    # frames past the early exit were never computed (stay zero)
+    assert np.all(np.asarray(wl.latents[:, hi:]) == 0)
+
+
+def test_while_loop_per_stream_budget(weights, dweights):
+    """max_frames_per_stream caps individual streams (continuous batching)."""
+    max_frames = 8
+    prefix = _build_prefix(weights, np.array([1, 2], np.int32), None)
+    T0 = len(prefix)
+    noise = frame_noise(9, max_frames, CFG.latent_dim, temp=0.5)[None]
+    cache = flowlm.make_cache(CFG, 1, T0 + max_frames)
+    cache, x0 = flowlm.prefill(dweights, cache, jnp.asarray(prefix)[None],
+                               jnp.asarray([T0], jnp.int32), CFG)
+    res = flowlm.generate_latents_while(
+        dweights, cache, x0, jnp.asarray(noise), CFG,
+        max_frames=max_frames, num_steps=1, eos_threshold=1e9,
+        max_frames_per_stream=jnp.asarray([3], jnp.int32),
+    )
+    assert int(res.frames_used[0]) == 3
+    assert np.all(np.asarray(res.latents[0, 3:]) == 0)
+
+
 def test_scale_latents(weights, dweights):
     lat = randn(2, 3, CFG.latent_dim)
     got = flowlm.scale_latents(dweights, jnp.asarray(lat))
