@@ -61,6 +61,7 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
 
     fw = flowlm.to_device(flowlm.random_weights(cfg, seed=0), dtype, cfg)
     mw = mimi.to_device(mimi.random_weights(mcfg, seed=1), dtype, mcfg)
+    pimpl = flowlm.resolve_prefill_impl()  # Pallas fused-QKV kernel on TPU
 
     rng = np.random.default_rng(0)
     prefix = jnp.asarray(
@@ -87,8 +88,7 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
         # Three separately-jitted stages (the production engine's call
         # pattern). One monolithic jit of the whole pipeline measured the
         # same runtime but 100x the XLA compile time.
-        cache = flowlm.make_cache(cfg, batch, max_len, dtype)
-        cache, x0 = flowlm.prefill(fw, cache, prefix, lengths, cfg)
+        cache, x0 = flowlm.prefill_init(fw, prefix, lengths, cfg, max_len, pimpl)
         if eos_mode == "off":
             res = flowlm.generate_latents(
                 fw, cache, x0, noise, cfg, max_frames=frame_bucket,

@@ -100,6 +100,9 @@ class KernelFlags:
     # (XLA block-local). Resolved once at engine construction
     # (models/mimi.resolve_window_impl) and passed as a static arg.
     window_impl: str = "auto"
+    # FlowLM prefill attention: "auto" (Pallas on TPU), "pallas", or "xla".
+    # Resolved once at engine construction (models/flowlm.resolve_prefill_impl).
+    prefill_impl: str = "auto"
     validate: bool = False  # run both paths, report maxdiff (PTTS_CUDA_VALIDATE analogue)
 
 

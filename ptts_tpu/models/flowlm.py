@@ -340,11 +340,30 @@ def _split_qkv(qkv: jnp.ndarray, H: int, D: int):
     return q.reshape(newshape), k.reshape(newshape), v.reshape(newshape)
 
 
+def resolve_prefill_impl(choice: str = "auto") -> str:
+    """Resolve the prefill-attention implementation: 'pallas' (fused
+    RoPE+attention QKV kernel, ops/pallas/fused_attention.py; measured 2.5x
+    the XLA prefill at B=256, T0=64 bf16 on v5e) or 'xla'. 'auto' consults
+    PTTS_PALLAS_PREFILL then the backend (Pallas on TPU). Call OUTSIDE traced
+    code; the result is a static argument."""
+    import os
+
+    if choice in ("pallas", "xla"):
+        return choice
+    v = os.environ.get("PTTS_PALLAS_PREFILL", "auto")
+    if v == "0":
+        return "xla"
+    if v == "1":
+        return "pallas"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def prefill_kv(
     w: Weights,
     x: jnp.ndarray,        # [B, T, d_model] prompt embeddings (padded)
     lengths: jnp.ndarray,  # [B] int32 valid positions
     cfg: FlowLMConfig,
+    attn_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched causal prompt pass. Returns (k [L,B,T,H,D], v, last [B,d])."""
     B, T, d = x.shape
@@ -356,9 +375,23 @@ def prefill_kv(
     for l in range(cfg.num_layers):
         xn = layernorm(x, w["norm1_w"][l], w["norm1_b"][l], cfg.ln_eps)
         qkv = _linear(w["in_proj"][l], None, xn)
-        q, k, v = _split_qkv(qkv, H, D)
-        q, k = rope_rotate_halves(q, k, positions[None, :], cfg.max_period)
-        attn = causal_attention(q, k, v, lengths=lengths)
+        if attn_impl == "pallas":
+            # fused RoPE + causal attention off the raw QKV projection
+            # (ops/pallas/fused_attention.py); rotated K comes back as a
+            # free second output for the cache
+            from ..ops.pallas.fused_attention import causal_attention_qkv
+
+            attn2, k_rot = causal_attention_qkv(
+                qkv, lengths, num_heads=H, head_dim=D,
+                max_period=cfg.max_period,
+            )
+            k = k_rot.reshape(B, T, H, D)
+            v = qkv[..., 2 * d :].reshape(B, T, H, D)
+            attn = attn2.reshape(B, T, H, D)
+        else:
+            q, k, v = _split_qkv(qkv, H, D)
+            q, k = rope_rotate_halves(q, k, positions[None, :], cfg.max_period)
+            attn = causal_attention(q, k, v, lengths=lengths)
         x = x + _linear(w["out_proj"][l], None, attn.reshape(B, T, d))
         xn = layernorm(x, w["norm2_w"][l], w["norm2_b"][l], cfg.ln_eps)
         ff = gelu_erf(_linear(w["linear1"][l], None, xn))
@@ -370,6 +403,35 @@ def prefill_kv(
     v_new = jnp.stack(v_layers)
     last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0, :]
     return k_new, v_new, last
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl"))
+def prefill_init(
+    w: Weights,
+    x: jnp.ndarray,        # [B, T, d_model] prompt embeddings (padded)
+    lengths: jnp.ndarray,  # [B] int32 valid positions
+    cfg: FlowLMConfig,
+    max_len: int,
+    attn_impl: str = "xla",
+) -> Tuple[KVCache, jnp.ndarray]:
+    """Batched causal prompt pass that BUILDS the cache in one pass.
+
+    Equivalent to make_cache + prefill but the cache columns [T, max_len) are
+    written by a single pad fused with the prompt K/V produce -- no eager
+    zeros allocation and no donated full-cache dynamic_update_slice (measured
+    ~12 ms/call at B=256, Tmax=128 on v5e; see PERF.md prefill notes).
+    """
+    B, T, d = x.shape
+    k_new, v_new, last = prefill_kv(w, x, lengths, cfg, attn_impl)
+    pad = [(0, 0), (0, 0), (0, max_len - T), (0, 0), (0, 0)]
+    cache = KVCache(
+        k=jnp.pad(k_new, pad),
+        v=jnp.pad(v_new, pad),
+        prefix_len=lengths.astype(jnp.int32),
+        start=jnp.full((B,), T, jnp.int32),
+        cursor=jnp.asarray(T, jnp.int32),
+    )
+    return cache, last
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
@@ -540,6 +602,43 @@ def lsd_decode(
 
     (x_final, first_flow), _ = jax.lax.scan(
         step, (x, jnp.zeros_like(x)), (jnp.arange(num_steps), time_embs)
+    )
+    return x_final, first_flow
+
+
+def lsd_decode_ragged(
+    w: Weights,
+    cond: jnp.ndarray,        # [B, d_model] out_norm'd hidden
+    time_embs: jnp.ndarray,   # [B, S_max, flow_dim] per-stream tables
+    num_steps: jnp.ndarray,   # [B] int32 per-stream Euler step counts
+    x: jnp.ndarray,           # [B, latent_dim] initial noise
+    cfg: FlowLMConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Euler sampler with PER-STREAM step counts (heterogeneous
+    Params.num_steps in the continuous batcher -- the reference honors params
+    per call, ptts.h:27-40). Stream b integrates its own n_b-step grid
+    (rows >= n_b of its time-embed table are ignored); every stream pays
+    S_max flow_net evaluations, extra steps are masked no-ops.
+
+    Bit-equal to lsd_decode for a stream whose table row equals
+    lsd_time_embeds(n_b) padded to S_max (same divisions, same order)."""
+    fw = w["flow"]
+    cond_emb = _linear(fw["cond_w"], fw["cond_b"], cond)
+    S = time_embs.shape[1]
+    n_b = jnp.maximum(num_steps, 1).astype(jnp.float32)[:, None]  # [B, 1]
+
+    def step(carry, inputs):
+        xc, first = carry
+        step_i, te = inputs          # te: [B, flow_dim]
+        flow = flow_net(w, cond_emb, te, xc, cfg)
+        first = jnp.where(step_i == 0, flow, first)
+        active = (step_i < num_steps)[:, None]
+        xc = xc + jnp.where(active, flow / n_b.astype(flow.dtype), 0.0)
+        return (xc, first), None
+
+    (x_final, first_flow), _ = jax.lax.scan(
+        step, (x, jnp.zeros_like(x)),
+        (jnp.arange(S), jnp.transpose(time_embs, (1, 0, 2)))
     )
     return x_final, first_flow
 

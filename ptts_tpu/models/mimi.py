@@ -42,8 +42,9 @@ LOCAL_ATTN_BLOCK = 256
 
 
 def resolve_window_impl(choice: str = "auto") -> str:
-    """Resolve the windowed-attention implementation: 'pallas' (fused kernel,
-    measured 1.85x the XLA block-local path on v5e) or 'local' (XLA
+    """Resolve the windowed-attention implementation: 'pallas' (fused
+    RoPE+attention QKV kernel, ops/pallas/fused_attention.py; measured 1.6x
+    the XLA block-local path at B=256, T=800 bf16 on v5e) or 'local' (XLA
     block-local). 'auto' consults PTTS_PALLAS_WINDOW then the backend
     (Pallas on TPU). Must be called OUTSIDE traced code -- the result is
     passed to decode()/transformer() as a static argument, so the choice is
@@ -304,31 +305,38 @@ def transformer(w: Weights, x: jnp.ndarray, cfg: MimiConfig,
     """
     B, T, d = x.shape
     H, D = cfg.num_heads, cfg.head_dim
+    # the fused QKV kernel bakes positions = arange(T) into its RoPE tables,
+    # so it only serves the default-positions (offline decode) path
+    use_fused = window_impl == "pallas" and positions is None
     if positions is None:
         positions = jnp.arange(T)[None, :]
-
     for l in range(cfg.num_layers):
         xn = layernorm(x, w["norm1_w"][l], w["norm1_b"][l], cfg.ln_eps)
         qkv = _linear(w["in_proj"][l], None, xn)
-        q = qkv[..., :d].reshape(B, T, H, D)
-        k = qkv[..., d : 2 * d].reshape(B, T, H, D)
-        v = qkv[..., 2 * d :].reshape(B, T, H, D)
-        q, k = rope_rotate_halves(q, k, positions, cfg.max_period)
-        # block-local windowed attention avoids the [B, H, T, T] score tensor
-        # for long sequences; exact-equal to the naive masked form
         block = max(LOCAL_ATTN_BLOCK, cfg.context - 1)
-        if T > block:
-            if window_impl == "pallas":
-                from ..ops.pallas.window_attention import windowed_attention_pallas
+        if use_fused:
+            # fused RoPE + windowed attention straight off the QKV projection
+            # (ops/pallas/fused_attention.py) -- skips the q/k/v split, the
+            # XLA-side rotation, and their layout copies (~35 ms/call at
+            # B=256, T=800 on v5e)
+            from ..ops.pallas.fused_attention import window_attention_qkv
 
-                attn = windowed_attention_pallas(
-                    q, k, v, context=cfg.context, block=block
-                ).reshape(B, T, d)
-            else:
+            attn = window_attention_qkv(
+                qkv, num_heads=H, head_dim=D, context=cfg.context,
+                block=block, max_period=cfg.max_period,
+            )
+        else:
+            q = qkv[..., :d].reshape(B, T, H, D)
+            k = qkv[..., d : 2 * d].reshape(B, T, H, D)
+            v = qkv[..., 2 * d :].reshape(B, T, H, D)
+            q, k = rope_rotate_halves(q, k, positions, cfg.max_period)
+            # block-local windowed attention avoids the [B, H, T, T] score
+            # tensor for long sequences; exact-equal to the naive masked form
+            if T > block:
                 attn = windowed_attention_local(q, k, v, context=cfg.context,
                                                 block=block).reshape(B, T, d)
-        else:
-            attn = causal_attention(q, k, v, context=cfg.context).reshape(B, T, d)
+            else:
+                attn = causal_attention(q, k, v, context=cfg.context).reshape(B, T, d)
         add = _linear(w["out_proj"][l], None, attn)
         if w["ls1"] is not None:
             add = add * w["ls1"][l]

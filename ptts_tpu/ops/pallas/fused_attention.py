@@ -1,0 +1,329 @@
+"""Fused RoPE + attention Pallas kernels operating on the raw QKV projection.
+
+Motivation (v5e traces, tools/profile_stages.py): the XLA-side RoPE rotation,
+q/k/v splits, f32 converts, and kernel-boundary pads around the round-1
+window_attention kernel cost ~35 ms/call at serving shapes (B=256, T=800) --
+more than the attention math itself. These kernels take the fused [B, T, 3*d]
+QKV tensor directly (bitcast-viewed as [B, T, 3*H, D]), rotate q/k in VMEM,
+and batch BB streams per grid program so DMA pipelines across a much smaller
+grid (the round-1 kernel ran 1024 ~20 us programs; this runs B/BB).
+
+RoPE-in-kernel trick: with the halves weight layout
+(ops/rope.permute_qk_rows_for_rope), the rotation is
+    rot(x) = x * cos64 + swap_halves(x) * sin64n
+where cos64 = [cos|cos], sin64n = [-sin|sin] ([T, D] tables built on host) and
+swap_halves is x @ P for the constant permutation P[i, (i+D/2)%D] = 1 -- an
+MXU dot instead of a 32-lane-offset slice (which Mosaic's lane tiling
+rejects). The tables are f32 and tiny.
+
+Two kernel bodies:
+  * window:  current + previous key block, sliding context (Mimi depth
+    transformer, ptts_mimi.c:264-299 semantics)
+  * causal:  single block covering the whole (padded) sequence, with a
+    per-stream length mask (FlowLM prefill, ptts_flowlm.c:1159-1185 role)
+
+Numerics match ops/attention.* to MXU-rounding (masked softmax, -1e30 fill,
+f32 score accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..rope import rope_freqs
+
+NEG_INF = -1e30
+
+
+def rope_tables64(t_pad: int, head_dim: int, max_period: float,
+                  frame0: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side [T, D] f32 cos64/sin64n tables for halves-layout RoPE."""
+    freqs = rope_freqs(head_dim, max_period)                 # [D/2]
+    pos = np.arange(frame0, frame0 + t_pad, dtype=np.float32)
+    angle = pos[:, None] * freqs[None, :]                    # [T, D/2]
+    cos = np.cos(angle)
+    sin = np.sin(angle)
+    cos64 = np.concatenate([cos, cos], axis=1)
+    sin64n = np.concatenate([-sin, sin], axis=1)
+    return cos64.astype(np.float32), sin64n.astype(np.float32)
+
+
+def _swap_matrix(D: int):
+    """[D, D] f32 permutation: x @ P = [x_hi | x_lo]."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    return ((r + D // 2) % D == c).astype(jnp.float32)
+
+
+def _rot_heads(x, cs, sn, P):
+    """RoPE rotate [S, nH, D] head slices in one batched dot.
+
+    x: any dtype; cs/sn: [S, D] f32 tables; P: [D, D] swap matrix in x.dtype.
+    Returns x.dtype (rotation accumulated in f32, like ops/rope)."""
+    xs = jax.lax.dot_general(
+        x, P, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # [S, nH, D] f32
+    rot = x.astype(jnp.float32) * cs[:, None, :] + xs * sn[:, None, :]
+    return rot.astype(x.dtype)
+
+
+def _window_attn_qkv_kernel(
+    qkv_c_ref,   # [BB, S, 3H, D] current block
+    qkv_p_ref,   # [BB, S, 3H, D] previous block
+    cs_c_ref,    # [S, D] f32 cos64 current
+    sn_c_ref,    # [S, D] f32 sin64n current
+    cs_p_ref,    # [S, D] previous
+    sn_p_ref,    # [S, D]
+    o_ref,       # [BB, S, H*D]
+    *,
+    block_s: int,
+    context: int,
+    t_real: int,
+    bb: int,
+    num_heads: int,
+):
+    i = pl.program_id(1)
+    S = block_s
+    H = num_heads
+    D = qkv_c_ref.shape[3]
+    dt = qkv_c_ref.dtype
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    P = _swap_matrix(D).astype(dt)
+    cs_c = cs_c_ref[...]
+    sn_c = sn_c_ref[...]
+    cs_p = cs_p_ref[...]
+    sn_p = sn_p_ref[...]
+
+    q_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (S, 2 * S), 0)
+    k_abs = (i - 1) * S + jax.lax.broadcasted_iota(jnp.int32, (S, 2 * S), 1)
+    rel = q_pos - k_abs
+    valid = (rel >= 0) & (rel < context) & (k_abs >= 0) & (k_abs < t_real)
+
+    # fori_loop over streams bounds live kernel temporaries to one iteration
+    # (a fully-unrolled bb*H loop blows the scoped-VMEM stack at bb >= 2)
+    def stream(b, _):
+        # rotate all q + current-k heads in ONE batched dot, prev-k in another
+        rot_c = _rot_heads(qkv_c_ref[b, :, : 2 * H, :], cs_c, sn_c, P)
+        rot_p = _rot_heads(qkv_p_ref[b, :, H : 2 * H, :], cs_p, sn_p, P)
+        for h in range(H):
+            q = rot_c[:, h, :]                                      # [S, D] dt
+            k2 = jnp.concatenate([rot_p[:, h, :], rot_c[:, H + h, :]], axis=0)
+            v2 = jnp.concatenate(
+                [qkv_p_ref[b, :, 2 * H + h, :], qkv_c_ref[b, :, 2 * H + h, :]],
+                axis=0,
+            )                                                       # [2S, D]
+
+            # dots run in the INPUT dtype (bf16 serving: full MXU rate; f32
+            # parity: 3-pass) with f32 accumulation -- identical numerics
+            # treatment to the XLA path (probs.astype(v.dtype)).
+            s = jax.lax.dot_general(
+                q, k2, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                               # [S, 2S]
+            s = jnp.where(valid, s, NEG_INF)   # where (not mul): kills NaNs
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                p.astype(dt), v2, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / jnp.maximum(l, 1e-30)
+            o_ref[b, :, h * D : (h + 1) * D] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bb, stream, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "head_dim", "context", "block", "block_b",
+                     "max_period", "interpret"),
+)
+def window_attention_qkv(
+    qkv: jnp.ndarray,   # [B, T, 3*H*D] fused projection (halves RoPE layout)
+    *,
+    num_heads: int,
+    head_dim: int,
+    context: int,
+    block: int = 256,
+    block_b: int = 8,
+    max_period: float = 10000.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sliding-window causal attention with in-kernel RoPE.
+
+    Equals rope_rotate_halves + windowed_attention_local on the split q/k/v
+    (positions = arange(T)). Returns [B, T, H*D].
+    """
+    B, T, qkv_dim = qkv.shape
+    H, D = num_heads, head_dim
+    assert qkv_dim == 3 * H * D
+    S = block
+    assert S >= context - 1, (S, context)
+    nb = -(-T // S)
+    pad = nb * S - T
+    if pad:
+        qkv = jnp.pad(qkv, [(0, 0), (0, pad), (0, 0)])
+    bb = block_b
+    while B % bb:
+        bb //= 2
+    qkv4 = qkv.reshape(B, nb * S, 3 * H, D)
+
+    cos64, sin64n = rope_tables64(nb * S, D, max_period)
+    cos64 = jnp.asarray(cos64)
+    sin64n = jnp.asarray(sin64n)
+
+    def cur(b, i):
+        return (b, i, 0, 0)
+
+    def prev(b, i):
+        return (b, jnp.maximum(i - 1, 0), 0, 0)
+
+    def tcur(b, i):
+        return (i, 0)
+
+    def tprev(b, i):
+        return (jnp.maximum(i - 1, 0), 0)
+
+    spec_c = pl.BlockSpec((bb, S, 3 * H, D), cur, memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((bb, S, 3 * H, D), prev, memory_space=pltpu.VMEM)
+    tspec_c = pl.BlockSpec((S, D), tcur, memory_space=pltpu.VMEM)
+    tspec_p = pl.BlockSpec((S, D), tprev, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _window_attn_qkv_kernel, block_s=S, context=context, t_real=T,
+        bb=bb, num_heads=H,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // bb, nb),
+        in_specs=[spec_c, spec_p, tspec_c, tspec_c, tspec_p, tspec_p],
+        out_specs=pl.BlockSpec((bb, S, H * D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nb * S, H * D), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qkv4, qkv4, cos64, sin64n, cos64, sin64n)
+    return out[:, :T]
+
+
+def _causal_attn_qkv_kernel(
+    len_ref,     # scalar prefetch [B] int32
+    qkv_ref,     # [BB, T, 3H, D]
+    cs_ref,      # [T, D] f32
+    sn_ref,      # [T, D] f32
+    o_ref,       # [BB, T, H*D]
+    ok_ref,      # [BB, T, H*D] rotated K (for the KV cache)
+    *,
+    seq_t: int,
+    bb: int,
+    num_heads: int,
+):
+    bidx = pl.program_id(0)
+    T = seq_t
+    H = num_heads
+    D = qkv_ref.shape[3]
+    dt = qkv_ref.dtype
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    P = _swap_matrix(D).astype(dt)
+    cs = cs_ref[...]
+    sn = sn_ref[...]
+
+    tq = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    tk = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    causal = tk <= tq
+
+    def stream(b, _):
+        length = len_ref[bidx * bb + b]
+        valid = causal & (tk < length)
+        rot = _rot_heads(qkv_ref[b, :, : 2 * H, :], cs, sn, P)  # [T, 2H, D]
+        for h in range(H):
+            q = rot[:, h, :]
+            k = rot[:, H + h, :]
+            v = qkv_ref[b, :, 2 * H + h, :]
+            ok_ref[b, :, h * D : (h + 1) * D] = k.astype(ok_ref.dtype)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(valid, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                p.astype(dt), v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / jnp.maximum(l, 1e-30)
+            o_ref[b, :, h * D : (h + 1) * D] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bb, stream, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "head_dim", "block_b", "max_period",
+                     "interpret"),
+)
+def causal_attention_qkv(
+    qkv: jnp.ndarray,      # [B, T, 3*H*D] fused projection (halves layout)
+    lengths: jnp.ndarray,  # [B] int32
+    *,
+    num_heads: int,
+    head_dim: int,
+    block_b: int = 8,
+    max_period: float = 10000.0,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-causal + lengths-masked attention with in-kernel RoPE (FlowLM
+    prefill). Whole sequence is one key block.
+
+    Returns (attn [B, T, H*D], k_rot [B, T, H*D]) -- the rotated keys are a
+    free second output the prefill stores into the KV cache (the XLA path
+    pays a separate RoPE fusion for them)."""
+    B, T, qkv_dim = qkv.shape
+    H, D = num_heads, head_dim
+    assert qkv_dim == 3 * H * D
+    bb = block_b
+    while B % bb:
+        bb //= 2
+    qkv4 = qkv.reshape(B, T, 3 * H, D)
+    cos64, sin64n = rope_tables64(T, D, max_period)
+
+    out_spec = pl.BlockSpec((bb, T, H * D), lambda b, *_: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, T, 3 * H, D), lambda b, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, D), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, D), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec],
+    )
+    kernel = functools.partial(_causal_attn_qkv_kernel, seq_t=T, bb=bb,
+                               num_heads=H)
+    out, k_rot = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, T, H * D), qkv.dtype)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qkv4, jnp.asarray(cos64),
+      jnp.asarray(sin64n))
+    return out, k_rot

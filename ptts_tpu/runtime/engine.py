@@ -38,6 +38,9 @@ def flags_from_env() -> KernelFlags:
         window_impl={"0": "local", "1": "pallas"}.get(
             os.environ.get("PTTS_PALLAS_WINDOW", "auto"), "auto"
         ),
+        prefill_impl={"0": "xla", "1": "pallas"}.get(
+            os.environ.get("PTTS_PALLAS_PREFILL", "auto"), "auto"
+        ),
         validate=os.environ.get("PTTS_VALIDATE", "0") == "1",
     )
 from ..io.wav import Audio
@@ -100,6 +103,7 @@ class TTSEngine:
         self.flags = flags if flags is not None else flags_from_env()
         # resolve the Mimi windowed-attention impl once, outside any trace
         self.window_impl = mimi.resolve_window_impl(self.flags.window_impl)
+        self.prefill_impl = flowlm.resolve_prefill_impl(self.flags.prefill_impl)
 
         fw_host = flowlm.load_weights(ctx.weights, self.flowlm_cfg)
         mw_host = mimi.load_weights(ctx.weights, self.mimi_cfg)
@@ -182,10 +186,9 @@ class TTSEngine:
         )
 
         def run(flags):
-            cache = flowlm.make_cache(cfg, B, max_len, self.dtype)
-            cache, x0 = flowlm.prefill(
-                self.fw, cache, jnp.asarray(padded, self.dtype),
-                jnp.asarray(lengths), cfg
+            cache, x0 = flowlm.prefill_init(
+                self.fw, jnp.asarray(padded, self.dtype),
+                jnp.asarray(lengths), cfg, max_len, self.prefill_impl
             )
             if not params.eos_enabled:
                 return flowlm.generate_latents(
@@ -213,18 +216,20 @@ class TTSEngine:
             # (ptts_kernels.c:70-81): a failing Pallas kernel permanently
             # drops this engine to the XLA path. Only Pallas/Mosaic failures
             # qualify; anything else propagates unchanged.
-            if (not self.flags.use_pallas_decode_attention
-                    or not _is_pallas_failure(e)):
+            pallas_active = (self.flags.use_pallas_decode_attention
+                             or self.prefill_impl == "pallas")
+            if not pallas_active or not _is_pallas_failure(e):
                 raise
             import warnings
 
             warnings.warn(
-                f"[ptts] Pallas decode kernel failed ({type(e).__name__}: {e}); "
+                f"[ptts] Pallas kernel failed ({type(e).__name__}: {e}); "
                 "permanently degrading this engine to the XLA path"
             )
             self.flags = dataclasses.replace(
                 self.flags, use_pallas_decode_attention=False
             )
+            self.prefill_impl = "xla"
             res = run(self.flags)
         # cap frames_used at the caller's true max (bucketing may exceed it)
         capped = jnp.minimum(res.frames_used, max_frames)

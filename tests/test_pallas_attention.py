@@ -98,26 +98,7 @@ def test_pallas_skips_tail_blocks():
     assert_close(got, want, atol=3e-5, rtol=3e-5)
 
 
-# -- windowed (Mimi) kernel ----------------------------------------------------
-
-
-@pytest.mark.parametrize("T,context,block", [(40, 5, 8), (37, 5, 8), (64, 9, 16)])
-def test_pallas_windowed_matches_local(T, context, block):
-    from jax.experimental.pallas import tpu as pltpu
-
-    from ptts_tpu.ops.attention import causal_attention
-    from ptts_tpu.ops.pallas.window_attention import windowed_attention_pallas
-
-    B, H, D = 2, 2, 64
-    rng = np.random.default_rng(3)
-    q = (rng.standard_normal((B, T, H, D)) * 0.5).astype(np.float32)
-    k = (rng.standard_normal((B, T, H, D)) * 0.5).astype(np.float32)
-    v = (rng.standard_normal((B, T, H, D)) * 0.5).astype(np.float32)
-    want = causal_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                            context=context)
-    with pltpu.force_tpu_interpret_mode():
-        got = windowed_attention_pallas(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-            context=context, block=block,
-        )
-    assert_close(np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5)
+# The round-1 windowed (Mimi) kernel was superseded by the fused QKV kernel
+# (ops/pallas/fused_attention.py, tested in test_pallas_fused.py) which beat
+# it 86 ms vs 115 ms per transformer call at B=256, T=800 on v5e -- the
+# dominated kernel was removed (VERDICT round 1, "win or cut").
