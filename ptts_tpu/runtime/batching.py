@@ -46,6 +46,11 @@ class Request:
     noise: np.ndarray           # [max_frames, latent]
     max_frames: int
     eos_after: int
+    # per-request generation params (ptts.h:27-40 semantics: every call's
+    # Params are honored, not the pool's first submit)
+    num_steps: int = 1
+    eos_threshold: float = 1e30   # +inf == EOS disabled for this stream
+    eos_min_frames: int = 1
 
 
 @dataclasses.dataclass
@@ -58,7 +63,7 @@ class Result:
 @functools.partial(
     jax.jit, static_argnames=("cfg",),
     donate_argnames=("cache", "x_all", "eos_step", "done", "frame_idx",
-                     "mimi_state"),
+                     "mimi_state", "time_embs"),
 )
 def admit_slots(
     w,
@@ -68,9 +73,11 @@ def admit_slots(
     done: jnp.ndarray,          # [B1]
     frame_idx: jnp.ndarray,     # [B1]
     mimi_state,
+    time_embs: jnp.ndarray,     # [B1, S_max, flow_dim] per-slot Euler tables
     slot_ids: jnp.ndarray,      # [n] target rows (trash row for padding)
     prefix: jnp.ndarray,        # [n, T0, d] back-padded prompts
     lengths: jnp.ndarray,       # [n]
+    te_rows: jnp.ndarray,       # [n, S_max, flow_dim] new slots' tables
     cfg: FlowLMConfig,
 ):
     """Prefill n new prompts and scatter their state into the pool rows.
@@ -94,6 +101,7 @@ def admit_slots(
     eos_step = eos_step.at[slot_ids].set(-1)
     done = done.at[slot_ids].set(False)
     frame_idx = frame_idx.at[slot_ids].set(0)
+    time_embs = time_embs.at[slot_ids].set(te_rows.astype(time_embs.dtype))
 
     mimi_state = {
         "up": mimi_state["up"].at[slot_ids].set(0.0),
@@ -109,7 +117,7 @@ def admit_slots(
         ],
         "dec_out": mimi_state["dec_out"].at[slot_ids].set(0.0),
     }
-    return cache, x_all, eos_step, done, frame_idx, mimi_state
+    return cache, x_all, eos_step, done, frame_idx, mimi_state, time_embs
 
 
 @functools.partial(jax.jit, static_argnames=("prefix_budget",),
@@ -150,7 +158,8 @@ class ContinuousBatcher:
     """Fixed-slot continuous batching server for one chip (or one mesh)."""
 
     def __init__(self, engine, slots: int = 32, max_len: int = 512,
-                 admit_chunk: int = 8, prefix_budget: int = 128):
+                 admit_chunk: int = 8, prefix_budget: int = 128,
+                 max_num_steps: int = 8):
         self.engine = engine
         self.cfg = engine.flowlm_cfg
         self.slots = slots
@@ -159,6 +168,7 @@ class ContinuousBatcher:
         self.max_len = max_len
         self.admit_chunk = admit_chunk
         self.prefix_budget = prefix_budget
+        self.max_num_steps = max_num_steps  # pool-wide Euler table width
         assert prefix_budget < max_len
 
         dt = engine.dtype
@@ -175,8 +185,12 @@ class ContinuousBatcher:
         self.frame_idx = jnp.zeros((self.B1,), jnp.int32)
         self.mimi_state = mimi_stream.init_state(engine.mw, engine.mimi_cfg,
                                                  self.B1, dt)
-        self.time_embs = None
-        self._params: Optional[api.Params] = None
+        # per-slot Euler time-embed tables [B1, S_max, flow_dim] -- each
+        # slot carries its own num_steps grid (per-request Params)
+        self.time_embs = jnp.zeros(
+            (self.B1, max_num_steps, cfg.flow_dim), jnp.float32
+        )
+        self._te_cache: Dict[int, np.ndarray] = {}  # num_steps -> padded row
 
         self.slot_req: List[Optional[Request]] = [None] * slots
         self.queue: deque[Request] = deque()
@@ -185,6 +199,9 @@ class ContinuousBatcher:
         self._next_rid = 0
         self._eos_after = np.zeros(self.B1, np.int32)
         self._max_frames = np.full(self.B1, 1, np.int32)
+        self._num_steps = np.ones(self.B1, np.int32)
+        self._eos_threshold = np.full(self.B1, 1e30, np.float32)
+        self._eos_min_frames = np.ones(self.B1, np.int32)
         self._noise: List[Optional[np.ndarray]] = [None] * self.B1
 
     # -- submission ----------------------------------------------------------
@@ -192,10 +209,10 @@ class ContinuousBatcher:
     def submit(self, text: str, voice: Optional[str] = None,
                params: Optional[api.Params] = None) -> int:
         p = (params or api.Params()).normalized()
-        if self._params is None:
-            self._params = p
-            self.time_embs = flowlm.lsd_time_embeds(
-                self.engine.fw, p.num_steps, self.cfg
+        if p.num_steps > self.max_num_steps:
+            raise api.PttsError(
+                f"num_steps {p.num_steps} > pool max_num_steps "
+                f"{self.max_num_steps} (raise it at construction)"
             )
         prepared, wc, eos_after_guess = prepare_text(text)
         ids = self.engine.ctx.tokenize(prepared)
@@ -218,10 +235,27 @@ class ContinuousBatcher:
                                   temp=p.temp, noise_clamp=p.noise_clamp),
                 max_frames=max_frames,
                 eos_after=p.eos_after if p.eos_after > 0 else eos_after_guess,
+                num_steps=p.num_steps,
+                eos_threshold=(p.eos_threshold if p.eos_enabled
+                               else np.float32(1e30)),
+                eos_min_frames=p.eos_min_frames,
             )
         )
         self.chunks[rid] = []
         return rid
+
+    def _te_row(self, num_steps: int) -> np.ndarray:
+        """[S_max, flow_dim] Euler table for num_steps, zero-padded."""
+        row = self._te_cache.get(num_steps)
+        if row is None:
+            te = np.asarray(
+                flowlm.lsd_time_embeds(self.engine.fw, num_steps, self.cfg),
+                np.float32,
+            )
+            row = np.zeros((self.max_num_steps, self.cfg.flow_dim), np.float32)
+            row[:num_steps] = te
+            self._te_cache[num_steps] = row
+        return row
 
     # -- serving loop ----------------------------------------------------------
 
@@ -237,21 +271,27 @@ class ContinuousBatcher:
             prefix = np.zeros((n, T0, self.cfg.d_model), np.float32)
             lengths = np.ones(n, np.int32)
             slot_ids = np.full(n, self.trash, np.int32)
+            te_rows = np.zeros((n, self.max_num_steps, self.cfg.flow_dim),
+                               np.float32)
             for j, (slot, req) in enumerate(group):
                 prefix[j, : len(req.prefix)] = req.prefix
                 lengths[j] = len(req.prefix)
                 slot_ids[j] = slot
+                te_rows[j] = self._te_row(req.num_steps)
                 self.slot_req[slot] = req
                 self._eos_after[slot] = req.eos_after
                 self._max_frames[slot] = req.max_frames
+                self._num_steps[slot] = req.num_steps
+                self._eos_threshold[slot] = req.eos_threshold
+                self._eos_min_frames[slot] = req.eos_min_frames
                 self._noise[slot] = req.noise
 
             (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
-             self.mimi_state) = admit_slots(
+             self.mimi_state, self.time_embs) = admit_slots(
                 self.engine.fw, self.cache, self.x, self.eos_step, self.done,
-                self.frame_idx, self.mimi_state,
+                self.frame_idx, self.mimi_state, self.time_embs,
                 jnp.asarray(slot_ids), jnp.asarray(prefix, self.engine.dtype),
-                jnp.asarray(lengths), self.cfg,
+                jnp.asarray(lengths), jnp.asarray(te_rows), self.cfg,
             )
 
     def _gather_noise(self) -> np.ndarray:
@@ -275,18 +315,19 @@ class ContinuousBatcher:
                 raise api.PttsError(
                     "cache exhausted even after compaction; raise max_len"
                 )
-        p = self._params
         engine = self.engine
 
         was_done = np.asarray(self.done).copy()
         noise = jnp.asarray(self._gather_noise(), engine.dtype)
+        # eos params are per-slot arrays; "disabled" is threshold=+1e30
         (self.cache, self.mimi_state, self.x, pcm, eos,
          self.eos_step, self.done) = fused_stream_step(
             engine.fw, engine.mw, self.cache, self.mimi_state, self.x, noise,
             self.time_embs, self.frame_idx, self.eos_step, self.done,
-            self.cfg, engine.mimi_cfg, bool(p.eos_enabled),
-            p.eos_threshold, p.eos_min_frames,
+            self.cfg, engine.mimi_cfg, True,
+            jnp.asarray(self._eos_threshold), jnp.asarray(self._eos_min_frames),
             jnp.asarray(self._eos_after), jnp.asarray(self._max_frames),
+            jnp.asarray(self._num_steps),
         )
         self.frame_idx = self.frame_idx + 1
 

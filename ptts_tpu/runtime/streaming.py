@@ -47,18 +47,27 @@ def flow_frame_step(
     done: jnp.ndarray,         # [B] bool
     cfg: FlowLMConfig,
     eos_enabled: bool,
-    eos_threshold: float,
-    eos_min_frames: int,
+    eos_threshold,             # float or [B] (per-request in the batcher)
+    eos_min_frames,            # int or [B]
     eos_after: jnp.ndarray,    # [B]
     max_frames: jnp.ndarray | None = None,  # [B] per-stream frame budget
+    num_steps: jnp.ndarray | None = None,   # [B] when time_embs is [B, S, fd]
 ):
-    """One generation frame (mirrors the body of flowlm.generate_latents)."""
+    """One generation frame (mirrors the body of flowlm.generate_latents).
+
+    ``time_embs`` is either a shared [S, fd] table (lockstep pools) or a
+    per-stream [B, S_max, fd] table with ``num_steps`` [B] -- heterogeneous
+    Params in the continuous batcher."""
     normed = layernorm(x, w["out_norm_w"], w["out_norm_b"], cfg.ln_eps)
     eos = flowlm.eos_logit(w, normed)
     hit = eos_enabled & ((frame_idx + 1) >= eos_min_frames) & (eos >= eos_threshold)
     eos_step = jnp.where((eos_step < 0) & hit, frame_idx, eos_step)
 
-    latent, _ = flowlm.lsd_decode(w, normed, time_embs, noise, cfg)
+    if time_embs.ndim == 3:
+        latent, _ = flowlm.lsd_decode_ragged(w, normed, time_embs, num_steps,
+                                             noise, cfg)
+    else:
+        latent, _ = flowlm.lsd_decode(w, normed, time_embs, noise, cfg)
     newly_done = (eos_step >= 0) & (frame_idx >= eos_step + eos_after)
     done = done | newly_done
     if max_frames is not None:
@@ -89,10 +98,11 @@ def fused_stream_step(
     cfg: FlowLMConfig,
     mcfg,
     eos_enabled: bool,
-    eos_threshold: float,
-    eos_min_frames: int,
+    eos_threshold,             # float or [B]
+    eos_min_frames,            # int or [B]
     eos_after: jnp.ndarray,
     max_frames: jnp.ndarray | None = None,
+    num_steps: jnp.ndarray | None = None,
 ):
     """One serving frame in a single device program: FlowLM frame step +
     streaming-Mimi chunk decode. One dispatch per 80 ms frame (dispatch
@@ -102,6 +112,7 @@ def fused_stream_step(
     cache, x, scaled, eos, eos_step, done = flow_frame_step(
         fw, cache, x, noise, time_embs, frame_idx, eos_step, done,
         cfg, eos_enabled, eos_threshold, eos_min_frames, eos_after, max_frames,
+        num_steps,
     )
     mimi_state, pcm = mimi_stream.decode_stream(
         mw, mimi_state, scaled[:, None, :], mcfg

@@ -113,3 +113,41 @@ def test_cache_compaction(ctx):
         want = _offline(ctx, text, p_off)
         assert_close(results[rid].audio, want.samples, atol=3e-4, rtol=3e-4,
                      msg=text)
+
+
+def test_heterogeneous_params_match_offline(ctx):
+    """Per-REQUEST Params in one pool (ptts.h:27-40 semantics): different
+    num_steps, eos settings, and temps served concurrently must each match
+    their own offline run (VERDICT r1 #7)."""
+    specs = [
+        ("hello world", api.Params(num_frames=4, num_steps=1, seed=11,
+                                   temp=0.5, eos_enabled=False)),
+        ("how low", api.Params(num_frames=5, num_steps=3, seed=12,
+                               temp=0.8, eos_enabled=False)),
+        ("hello hello", api.Params(num_frames=6, num_steps=2, seed=13,
+                                   temp=0.3, eos_enabled=True,
+                                   eos_threshold=-1e9, eos_min_frames=2,
+                                   eos_after=1)),
+        ("world world", api.Params(num_frames=4, num_steps=4, seed=14,
+                                   temp=0.6, eos_enabled=False)),
+    ]
+    batcher = ContinuousBatcher(ctx.engine, slots=3, max_len=96,
+                                admit_chunk=2, prefix_budget=32,
+                                max_num_steps=4)
+    rids = [batcher.submit(t, params=p) for t, p in specs]
+    results = batcher.drain()
+
+    for rid, (text, p) in zip(rids, specs):
+        p_off = api.Params(**{**p.__dict__, "seed": p.seed + rid})
+        want = _offline(ctx, text, p_off)
+        got = results[rid]
+        assert got.audio.shape == want.samples.shape, text
+        assert_close(got.audio, want.samples, atol=3e-4, rtol=3e-4, msg=text)
+
+
+def test_num_steps_above_pool_cap_rejected(ctx):
+    batcher = ContinuousBatcher(ctx.engine, slots=2, max_len=96,
+                                admit_chunk=2, prefix_budget=32,
+                                max_num_steps=2)
+    with pytest.raises(api.PttsError):
+        batcher.submit("hello", params=api.Params(num_frames=2, num_steps=3))
