@@ -103,6 +103,10 @@ class KernelFlags:
     # FlowLM prefill attention: "auto" (Pallas on TPU), "pallas", or "xla".
     # Resolved once at engine construction (models/flowlm.resolve_prefill_impl).
     prefill_impl: str = "auto"
+    # SEANet vocoder conv stack: "auto" (== "xla", the measured winner),
+    # "xla", or "pallas" (experimental fused single-kernel decoder;
+    # models/mimi.resolve_conv_impl).
+    conv_impl: str = "auto"
     validate: bool = False  # run both paths, report maxdiff (PTTS_CUDA_VALIDATE analogue)
 
 

@@ -24,6 +24,12 @@ import numpy as np
 _DIMNUMS = ("NWC", "WIO", "NWC")
 
 
+def _acc_dtype(dt):
+    """Conv OUTPUT dtype: f32 for f32 inputs (parity), the input dtype for
+    bf16 serving (the MXU still accumulates in f32 internally)."""
+    return jnp.float32 if dt == jnp.float32 else dt
+
+
 def prepare_conv_kernel(w_torch: np.ndarray) -> np.ndarray:
     """torch Conv1d weight [out, in/g, k] -> XLA WIO kernel [k, in/g, out]."""
     return np.ascontiguousarray(np.transpose(w_torch, (2, 1, 0)))
@@ -63,10 +69,13 @@ def conv1d_causal(
         padding=[(left_pad, 0)],
         dimension_numbers=_DIMNUMS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        # MXU accumulation is f32 either way; bf16 OUTPUT avoids a separate
+        # f32->bf16 convert pass over GB-scale vocoder activations
+        # (measured 95 -> 77 ms for the serving conv stack on v5e)
+        preferred_element_type=_acc_dtype(x.dtype),
     )
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -88,13 +97,13 @@ def convtr1d_causal(
         lhs_dilation=(stride,),
         dimension_numbers=_DIMNUMS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(x.dtype),
     )
     # full length (T-1)*s + k; reference trims the trailing (k - stride).
     T = x.shape[1]
     y = y_full[:, : T * stride, :]
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -164,7 +173,7 @@ def convtr1d_2s(
         window_strides=(1,),
         padding=[(1, 0)],
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(x.dtype),
     ).astype(x.dtype)                      # [B, T, s*Cout]
     y = y.reshape(B, T * s, Cout)
     if bias is not None:

@@ -41,6 +41,9 @@ def flags_from_env() -> KernelFlags:
         prefill_impl={"0": "xla", "1": "pallas"}.get(
             os.environ.get("PTTS_PALLAS_PREFILL", "auto"), "auto"
         ),
+        conv_impl={"0": "xla", "1": "pallas"}.get(
+            os.environ.get("PTTS_PALLAS_CONV", "auto"), "auto"
+        ),
         validate=os.environ.get("PTTS_VALIDATE", "0") == "1",
     )
 from ..io.wav import Audio
@@ -104,6 +107,7 @@ class TTSEngine:
         # resolve the Mimi windowed-attention impl once, outside any trace
         self.window_impl = mimi.resolve_window_impl(self.flags.window_impl)
         self.prefill_impl = flowlm.resolve_prefill_impl(self.flags.prefill_impl)
+        self.conv_impl = mimi.resolve_conv_impl(self.flags.conv_impl)
 
         fw_host = flowlm.load_weights(ctx.weights, self.flowlm_cfg)
         mw_host = mimi.load_weights(ctx.weights, self.mimi_cfg)
@@ -237,10 +241,31 @@ class TTSEngine:
 
     def decode_audio_batch(self, scaled_latents: jnp.ndarray) -> np.ndarray:
         """[B, F, 32] scaled latents -> PCM [B, F * 1920]."""
-        return np.asarray(
-            mimi.decode(self.mw, scaled_latents, self.mimi_cfg,
-                        window_impl=self.window_impl)
-        )
+        try:
+            return np.asarray(
+                mimi.decode(self.mw, scaled_latents, self.mimi_cfg,
+                            window_impl=self.window_impl,
+                            conv_impl=self.conv_impl)
+            )
+        except Exception as e:
+            # same degradation contract as generate_latents_batch: only
+            # Pallas/Mosaic failures drop to XLA, everything else propagates
+            pallas_active = (self.window_impl == "pallas"
+                             or self.conv_impl == "pallas")
+            if not pallas_active or not _is_pallas_failure(e):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"[ptts] Pallas Mimi kernel failed ({type(e).__name__}: {e});"
+                " permanently degrading this engine to the XLA decode path"
+            )
+            self.window_impl = "local"
+            self.conv_impl = "xla"
+            return np.asarray(
+                mimi.decode(self.mw, scaled_latents, self.mimi_cfg,
+                            window_impl="local", conv_impl="xla")
+            )
 
     def generate_full(self, text: str, voice: Optional[str] = None,
                       params: Optional["api.Params"] = None,
