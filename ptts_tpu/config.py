@@ -95,7 +95,11 @@ class KernelFlags:
     A/B debugging and validate-mode comparisons.
     """
 
-    use_pallas_decode_attention: bool = False
+    # AR decode attention: "auto" (== "einsum", the measured winner at all
+    # cache sizes inside the jitted AR loop), "einsum", or "blocked"
+    # (cursor-bounded online-softmax reads; loses to the fused einsum --
+    # kept opt-in, see models/flowlm._decode_attention_dispatch).
+    decode_impl: str = "auto"
     # Mimi windowed attention: "auto" (Pallas on TPU), "pallas", or "local"
     # (XLA block-local). Resolved once at engine construction
     # (models/mimi.resolve_window_impl) and passed as a static arg.

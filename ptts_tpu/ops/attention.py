@@ -158,3 +158,69 @@ def decode_attention(
     if context > 0:
         mask &= (lengths[:, None] - 1 - t) < context
     return decode_attention_masked(q, k_cache, v_cache, mask)
+
+
+def decode_attention_blocked(
+    q: jnp.ndarray,          # [B, H, D]
+    k_cache: jnp.ndarray,    # [B, Tmax, H, D]
+    v_cache: jnp.ndarray,
+    prefix_len: jnp.ndarray, # [B] int32
+    start: jnp.ndarray,      # [B] int32
+    cursor: jnp.ndarray,     # scalar int32 (last valid decode column)
+    *,
+    block_t: int = 128,
+) -> jnp.ndarray:
+    """Online-softmax decode attention that only READS cache blocks up to the
+    cursor -- the block-skipping role of the reference's device-resident
+    attn_step path (ptts_cuda.c:1755-1799), done at the XLA level: a
+    `fori_loop` with a DATA-DEPENDENT trip count `ceil((cursor+1)/block_t)`
+    streams `dynamic_slice` blocks through an online softmax.
+
+    STATUS: opt-in only (flags.decode_impl='blocked'). As a standalone op it
+    beats the full-read masked einsum ~10x at Tmax=512 (2.0-2.5 ms vs 21-24
+    per call), but INSIDE the jitted AR while_loop it measured 2.6x SLOWER
+    (5491 vs 2130 us/frame at B=256/Tmax=128): the dynamic-trip-count loop's
+    unpipelined dynamic_slice DMAs cost more than the dead-column reads they
+    skip once XLA has fused the einsum into the loop body. Kept for
+    long-cache experiments and as the validity-semantics reference
+    (tests/test_decode_attention.py). A round-1 Pallas flash-decode kernel
+    with the same role measured 9x slower than the einsum and was removed.
+
+    Validity matches models/flowlm.KVCache: column t of stream b is live iff
+    t < prefix_len[b] or start[b] <= t <= cursor.
+    """
+    B, Tmax, H, D = k_cache.shape
+    # block_t must divide Tmax: a clamped dynamic_slice in the ragged tail
+    # block would silently shift its window and mislabel positions
+    block_t = min(block_t, Tmax)
+    while Tmax % block_t:
+        block_t -= 1
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    nb = (cursor + 1 + block_t - 1) // block_t
+
+    def body(j, carry):
+        m, l, acc = carry
+        k_blk = jax.lax.dynamic_slice(
+            k_cache, (0, j * block_t, 0, 0), (B, block_t, H, D))
+        v_blk = jax.lax.dynamic_slice(
+            v_cache, (0, j * block_t, 0, 0), (B, block_t, H, D))
+        t = j * block_t + jnp.arange(block_t)[None, :]
+        valid = (t < prefix_len[:, None]) | (
+            (t >= start[:, None]) & (t <= cursor))
+        s = jnp.einsum("bhd,bthd->bht", q, k_blk,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(valid[:, None, :], s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l2 = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc2 = acc * corr + jnp.einsum(
+            "bht,bthd->bhd", p.astype(v_cache.dtype), v_blk,
+            preferred_element_type=jnp.float32)
+        return m_new, l2, acc2
+
+    init = (jnp.full((B, H, 1), NEG_INF, jnp.float32),
+            jnp.zeros((B, H, 1), jnp.float32),
+            jnp.zeros((B, H, D), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, nb, body, init)
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)

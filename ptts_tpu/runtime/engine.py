@@ -31,10 +31,10 @@ from ..config import FlowLMConfig, KernelFlags, MimiConfig
 
 def flags_from_env() -> KernelFlags:
     """Env-var kernel switches, the reference's PTTS_CUDA_* pattern
-    (ptts_kernels.c:42-67): PTTS_PALLAS_ATTN=1 enables the Pallas decode
-    kernel; PTTS_VALIDATE=1 runs both paths and prints maxdiffs."""
+    (ptts_kernels.c:42-67); PTTS_VALIDATE=1 runs both decode-attention paths
+    and prints maxdiffs."""
     return KernelFlags(
-        use_pallas_decode_attention=os.environ.get("PTTS_PALLAS_ATTN", "0") == "1",
+        decode_impl=os.environ.get("PTTS_DECODE_IMPL", "auto"),
         window_impl={"0": "local", "1": "pallas"}.get(
             os.environ.get("PTTS_PALLAS_WINDOW", "auto"), "auto"
         ),
@@ -220,18 +220,13 @@ class TTSEngine:
             # (ptts_kernels.c:70-81): a failing Pallas kernel permanently
             # drops this engine to the XLA path. Only Pallas/Mosaic failures
             # qualify; anything else propagates unchanged.
-            pallas_active = (self.flags.use_pallas_decode_attention
-                             or self.prefill_impl == "pallas")
-            if not pallas_active or not _is_pallas_failure(e):
+            if self.prefill_impl != "pallas" or not _is_pallas_failure(e):
                 raise
             import warnings
 
             warnings.warn(
                 f"[ptts] Pallas kernel failed ({type(e).__name__}: {e}); "
                 "permanently degrading this engine to the XLA path"
-            )
-            self.flags = dataclasses.replace(
-                self.flags, use_pallas_decode_attention=False
             )
             self.prefill_impl = "xla"
             res = run(self.flags)

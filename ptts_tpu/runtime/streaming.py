@@ -129,10 +129,21 @@ class StreamChunk:
 
 
 class StreamingSession:
-    """B lockstep streams emitting one 80 ms chunk per step."""
+    """B lockstep streams emitting one 80 ms chunk per step.
+
+    Double-buffered by default (``pipeline=True``): ``step()`` dispatches
+    frame N+1 to the device BEFORE converting frame N's PCM on the host, and
+    frame N's device->host copy is started asynchronously at dispatch time --
+    so the (remote-tunnel-expensive) readback of chunk N overlaps with the
+    device computing chunk N+1 instead of serializing with it. Outputs are
+    bit-identical to the serial path (the state evolution is the same
+    sequence of jitted calls); at most one speculative frame of device work
+    is wasted when every stream EOSes at once.
+    """
 
     def __init__(self, engine, prefixes: List[np.ndarray], max_frames: int,
-                 params: "api.Params", eos_after: np.ndarray):
+                 params: "api.Params", eos_after: np.ndarray,
+                 pipeline: bool = True):
         self.engine = engine
         cfg = engine.flowlm_cfg
         self.cfg = cfg
@@ -168,15 +179,19 @@ class StreamingSession:
         self.eos_step = jnp.full((B,), -1, jnp.int32)
         self.done = jnp.zeros((B,), jnp.bool_)
         self.eos_after = jnp.asarray(eos_after, jnp.int32)
-        self.frame = 0
+        self.frame = 0                      # next frame index to DISPATCH
         self.frames_used = np.zeros(B, np.int64)
+        self.pipeline = pipeline
+        self._pending = None                # dispatched-but-not-yielded frame
+        self._host_all_done = False
 
     # -- construction -------------------------------------------------------
 
     @classmethod
     def start(cls, engine, texts: Sequence[str],
               voices: Optional[Sequence[Optional[str]]] = None,
-              params: Optional["api.Params"] = None) -> "StreamingSession":
+              params: Optional["api.Params"] = None,
+              pipeline: bool = True) -> "StreamingSession":
         p = (params or api.Params()).normalized()
         if voices is None:
             voices = [None] * len(texts)
@@ -189,20 +204,21 @@ class StreamingSession:
             frames.append(p.num_frames if p.num_frames > 0 else estimate_frames(wc))
             eos_afters.append(p.eos_after if p.eos_after > 0 else eos_after_guess)
         return cls(engine, prefixes, max(frames), p,
-                   np.asarray(eos_afters, np.int32))
+                   np.asarray(eos_afters, np.int32), pipeline=pipeline)
 
     # -- stepping -------------------------------------------------------------
 
     @property
     def all_done(self) -> bool:
-        return self.frame >= self.max_frames or bool(np.all(np.asarray(self.done)))
+        if self._pending is not None and not self._host_all_done:
+            return False
+        return self.frame >= self.max_frames or self._host_all_done \
+            or bool(np.all(np.asarray(self.done)))
 
-    def step(self) -> StreamChunk:
-        """Generate the next frame and decode its 80 ms of PCM."""
-        if self.all_done:
-            raise StopIteration
+    def _dispatch(self) -> None:
+        """Queue one jitted frame step; start the PCM device->host copy."""
         engine = self.engine
-        was_done = np.asarray(self.done).copy()
+        was_done_dev = self.done
         noise = jnp.asarray(self._noise[:, self.frame], engine.dtype)
         (self.cache, self.mimi_state, self.x, pcm, eos,
          self.eos_step, self.done) = fused_stream_step(
@@ -212,16 +228,36 @@ class StreamingSession:
             self.params.eos_threshold, self.params.eos_min_frames,
             self.eos_after,
         )
+        try:  # overlap the transfer with the next frame's device work
+            pcm.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending = (self.frame, pcm, eos, was_done_dev, self.done)
+        self.frame += 1
+
+    def step(self) -> StreamChunk:
+        """Return the next 80 ms chunk; dispatch the following frame first
+        (double buffering) so its device work overlaps this readback."""
+        if self.all_done:
+            raise StopIteration
+        if self._pending is None:
+            self._dispatch()
+        idx, pcm, eos, was_done_dev, done_dev = self._pending
+        self._pending = None
+        if self.pipeline and self.frame < self.max_frames \
+                and not self._host_all_done:
+            self._dispatch()  # speculative: overlaps the readback below
+        was_done = np.asarray(was_done_dev)
+        done_np = np.asarray(done_dev)
+        self._host_all_done = bool(done_np.all())
         active = ~was_done
         self.frames_used += active.astype(np.int64)
-        chunk = StreamChunk(
+        return StreamChunk(
             pcm=np.asarray(pcm, np.float32),
-            frame_index=self.frame,
+            frame_index=idx,
             active=active,
             eos_logits=np.asarray(eos, np.float32),
         )
-        self.frame += 1
-        return chunk
 
     def __iter__(self) -> Iterator[StreamChunk]:
         while not self.all_done:

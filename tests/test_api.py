@@ -135,35 +135,32 @@ def test_generate_dummy():
 
 def test_engine_pallas_fallback(ctx, monkeypatch):
     """A failing Pallas kernel must degrade to the XLA path (the reference's
-    backend fallback chain, ptts_kernels.c:70-81)."""
-    import dataclasses as dc
-
-    from ptts_tpu.config import KernelFlags
-    from ptts_tpu.models import pallas_compat
+    backend fallback chain, ptts_kernels.c:70-81). Exercised via the Pallas
+    prefill kernel (the decode path is pure XLA since round 2)."""
+    from ptts_tpu.ops.pallas import fused_attention
 
     def boom(*a, **k):
         raise RuntimeError("mosaic unavailable")
 
-    monkeypatch.setattr(pallas_compat, "pallas_decode_attention", boom)
+    monkeypatch.setattr(fused_attention, "causal_attention_qkv", boom)
     engine = ctx.engine
-    old_flags = engine.flags
-    engine.flags = KernelFlags(use_pallas_decode_attention=True)
+    old_impl = engine.prefill_impl
+    engine.prefill_impl = "pallas"
     try:
         p = api.Params(num_frames=2, num_steps=1, seed=1, temp=0.0,
                        eos_enabled=False)
         out = engine.generate_full("hello", params=p, decode_audio=False)
         assert out.frames_used == 2
-        assert not engine.flags.use_pallas_decode_attention  # degraded
+        assert engine.prefill_impl == "xla"  # degraded
     finally:
-        engine.flags = old_flags
+        engine.prefill_impl = old_impl
 
 
 def test_engine_non_pallas_error_propagates(ctx, monkeypatch):
     """Errors unrelated to Pallas/Mosaic must NOT be swallowed by the
     degradation path (ADVICE r1): no silent re-run, original exception
     surfaces."""
-    from ptts_tpu.config import KernelFlags
-    from ptts_tpu.models import pallas_compat
+    from ptts_tpu.ops.pallas import fused_attention
     from ptts_tpu.runtime.engine import _is_pallas_failure
 
     assert _is_pallas_failure(RuntimeError("Mosaic failed to compile"))
@@ -184,19 +181,19 @@ def test_engine_non_pallas_error_propagates(ctx, monkeypatch):
         calls.append(1)
         raise ValueError("totally unrelated failure")
 
-    monkeypatch.setattr(pallas_compat, "pallas_decode_attention", boom)
+    monkeypatch.setattr(fused_attention, "causal_attention_qkv", boom)
     engine = ctx.engine
-    old_flags = engine.flags
-    engine.flags = KernelFlags(use_pallas_decode_attention=True)
+    old_impl = engine.prefill_impl
+    engine.prefill_impl = "pallas"
     try:
         p = api.Params(num_frames=2, num_steps=1, seed=1, temp=0.0,
                        eos_enabled=False)
         with pytest.raises(ValueError, match="totally unrelated"):
             engine.generate_full("hello", params=p, decode_audio=False)
         assert len(calls) == 1  # not re-run with Pallas disabled
-        assert engine.flags.use_pallas_decode_attention  # not degraded
+        assert engine.prefill_impl == "pallas"  # not degraded
     finally:
-        engine.flags = old_flags
+        engine.prefill_impl = old_impl
 
 
 def test_long_form_auto_frames_and_eos(ctx):

@@ -54,3 +54,24 @@ def test_streaming_eos_stops_early(ctx):
     chunks = list(session)
     # eos fires at frame idx 1; stop after frame idx 2 -> 3 chunks emitted
     assert len(chunks) == 3
+
+
+def test_pipelined_equals_serial(ctx):
+    """Double-buffered stepping (dispatch N+1 before reading N) must emit
+    chunk-identical output to the serial path, including ragged EOS."""
+    p = api.Params(num_frames=6, num_steps=1, seed=4, temp=0.5,
+                   eos_enabled=True, eos_threshold=-1e9, eos_min_frames=2,
+                   eos_after=1)
+    texts = ["hello world", "how low"]
+    serial = StreamingSession.start(ctx.engine, texts, params=p,
+                                    pipeline=False)
+    piped = StreamingSession.start(ctx.engine, texts, params=p,
+                                   pipeline=True)
+    cs = [c for c in serial]
+    cp = [c for c in piped]
+    assert len(cs) == len(cp)
+    for a, b in zip(cs, cp):
+        assert a.frame_index == b.frame_index
+        assert np.array_equal(a.active, b.active)
+        np.testing.assert_array_equal(a.pcm, b.pcm)
+    np.testing.assert_array_equal(serial.frames_used, piped.frames_used)

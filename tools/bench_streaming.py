@@ -78,10 +78,43 @@ def main() -> int:
         float(jnp.sum(pcm[:1, :8].astype(jnp.float32)))  # fence
         return first, time.perf_counter() - t_start
 
+    def run_readback(n_frames: int, pipelined: bool) -> float:
+        """Per-frame HOST READBACK of every PCM chunk (the client-facing
+        serving loop). pipelined=True double-buffers: dispatch frame i,
+        start its async copy, then read frame i-1 -- the device computes
+        frame i while chunk i-1 crosses to the host (VERDICT r1 #9)."""
+        cache = flowlm.make_cache(cfg, B, T0 + F, dt)
+        cache, x = flowlm.prefill(fw, cache, prefix, lengths, cfg)
+        eos_step = jnp.full((B,), -1, jnp.int32)
+        done = jnp.zeros((B,), jnp.bool_)
+        state = mimi_stream.init_state(mw, mcfg, B, dt)
+        pend = None
+        t_start = time.perf_counter()
+        for i in range(n_frames):
+            (cache, state, x, pcm, eos, eos_step, done) = fused_stream_step(
+                fw, mw, cache, state, x, noise_all[i], time_embs, jnp.int32(i),
+                eos_step, done, cfg, mcfg, False, -4.0, 1, eos_after,
+            )
+            if pipelined:
+                try:
+                    pcm.copy_to_host_async()
+                except Exception:
+                    pass
+                if pend is not None:
+                    np.asarray(pend)
+                pend = pcm
+            else:
+                np.asarray(pcm)
+        if pend is not None:
+            np.asarray(pend)
+        return time.perf_counter() - t_start
+
     run(F, readback_first=False)  # compile
 
     firsts = []
     slopes = []
+    rb_serial = []
+    rb_piped = []
     half = max(F // 2, 1)
     for _ in range(args.repeats):
         first, _ = run(1, readback_first=True)
@@ -89,6 +122,12 @@ def main() -> int:
         _, t_half = run(half, readback_first=False)
         _, t_full = run(F, readback_first=False)
         slopes.append((t_full - t_half) / (F - half) * 1000)
+        rb_serial.append(
+            (run_readback(F, False) - run_readback(half, False))
+            / (F - half) * 1000)
+        rb_piped.append(
+            (run_readback(F, True) - run_readback(half, True))
+            / (F - half) * 1000)
 
     firsts = np.array(firsts)
     steady = np.array(slopes)
@@ -102,6 +141,8 @@ def main() -> int:
             "batch": B,
             "p90_first_ms": round(float(np.percentile(firsts, 90)), 2),
             "steady_frame_ms": round(float(np.median(steady)), 3),
+            "readback_frame_serial_ms": round(float(np.median(rb_serial)), 3),
+            "readback_frame_pipelined_ms": round(float(np.median(rb_piped)), 3),
             "streaming_streams_per_chip": round(B * 80.0 / float(np.median(steady)), 0),
             "realtime_budget_ms_per_frame": 80.0,
             "dtype": args.dtype,
