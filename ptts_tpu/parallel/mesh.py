@@ -2,14 +2,23 @@
 
 The model is ~200M params: every chip holds the full weights, and scaling is
 pure data parallelism over independent streams (SURVEY.md §2 "Parallelism &
-communication inventory"). The mesh is 1-D over the batch axis; there are NO
-collectives in the hot path -- XLA only inserts an initial broadcast of the
-replicated weights. Multi-host slices extend the same mesh over DCN.
+communication inventory"). There are NO collectives in the hot path -- XLA
+only inserts an initial broadcast of the replicated weights.
+
+Single-host: a 1-D mesh over the batch axis. Multi-host: a HYBRID 2-D mesh
+(``dcn`` x ``batch``) built so that mesh neighbors along the fast axis are
+ICI neighbors and only the slow ``dcn`` axis crosses hosts
+(jax.experimental.mesh_utils.create_hybrid_device_mesh); the batch shards
+over BOTH axes (PartitionSpec(("dcn", "batch"))), weights replicate, and
+because serving is embarrassingly data-parallel the once-per-load weight
+broadcast is the only DCN traffic -- streams never communicate. The same
+jitted step runs unchanged under either mesh.
 
 Usage:
-    mesh = make_mesh()                        # all local devices
+    mesh = make_mesh()                         # 1-D, all local devices
+    mesh = make_multihost_mesh()               # 2-D (dcn, batch), all hosts
     sw = shard_weights(mesh, weights)          # replicate weights
-    cache = shard_batch(mesh, cache)           # shard KV cache on B
+    cache = shard_cache(mesh, cache)           # shard KV cache on B
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BATCH_AXIS = "batch"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
@@ -29,12 +39,48 @@ def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.asarray(devices), (BATCH_AXIS,))
 
 
+def make_multihost_mesh(num_hosts: Optional[int] = None,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (dcn, batch) mesh over all hosts' devices.
+
+    ``num_hosts`` defaults to jax.process_count(); pass it explicitly to
+    simulate a multi-host topology on a flat device list (the CPU-mesh
+    dryrun). Axis 0 ("dcn") spans hosts, axis 1 ("batch") spans the ICI
+    slice within a host.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_hosts is None:
+        num_hosts = jax.process_count()
+    n = len(devices)
+    assert n % num_hosts == 0, (n, num_hosts)
+    per_host = n // num_hosts
+    if jax.process_count() == num_hosts and num_hosts > 1:
+        from jax.experimental import mesh_utils
+
+        # per-axis products of (ici, dcn) shapes -> [num_hosts, per_host],
+        # hosts varying along axis 0 only
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, per_host), (num_hosts, 1), devices=devices
+        )
+    else:
+        arr = np.asarray(devices).reshape(num_hosts, per_host)
+    return Mesh(arr, (DCN_AXIS, BATCH_AXIS))
+
+
+def _batch_axes(mesh: Mesh):
+    """The mesh axis (or axis tuple) the batch dimension shards over."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, BATCH_AXIS)
+    return BATCH_AXIS
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def batch_sharding(mesh: Mesh, batch_dim: int = 0) -> NamedSharding:
-    spec = [None] * batch_dim + [BATCH_AXIS]
+    spec = [None] * batch_dim + [_batch_axes(mesh)]
     return NamedSharding(mesh, P(*spec))
 
 

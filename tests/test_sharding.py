@@ -119,3 +119,38 @@ def test_stream_independence(mesh, weights):
             assert np.abs(a[s] - b[s]).max() > 1e-6
         else:
             assert_close(a[s], b[s], atol=0, rtol=0, msg=f"stream {s} leaked")
+
+
+def test_multihost_hybrid_mesh_matches_unsharded(weights):
+    """2-D (dcn, batch) hybrid mesh (multi-host serving story): batch
+    sharded over BOTH axes, weights replicated, outputs identical to the
+    single-device run. Simulates 2 hosts x 4 devices on the CPU mesh."""
+    hmesh = pmesh.make_multihost_mesh(num_hosts=2, devices=jax.devices()[:8])
+    assert hmesh.axis_names == (pmesh.DCN_AXIS, pmesh.BATCH_AXIS)
+    assert hmesh.shape[pmesh.DCN_AXIS] == 2
+    B, T0, FRAMES = 16, 4, 3
+    rng = np.random.default_rng(7)
+    prefix = (rng.standard_normal((B, T0, CFG.d_model)) * 0.3).astype(np.float32)
+    lengths = np.full((B,), T0, np.int32)
+    noise = (rng.standard_normal((B, FRAMES, CFG.latent_dim)) * 0.5).astype(np.float32)
+
+    def run(shard):
+        w = flowlm.to_device(weights, cfg=CFG)
+        cache = flowlm.make_cache(CFG, B, T0 + FRAMES)
+        px, ln, nz = jnp.asarray(prefix), jnp.asarray(lengths), jnp.asarray(noise)
+        if shard:
+            w = pmesh.shard_weights(hmesh, w)
+            cache = pmesh.shard_cache(hmesh, cache)
+            px = pmesh.shard_batch_array(hmesh, px)
+            ln = pmesh.shard_batch_array(hmesh, ln)
+            nz = pmesh.shard_batch_array(hmesh, nz)
+        cache, x0 = flowlm.prefill(w, cache, px, ln, CFG)
+        res = flowlm.generate_latents(
+            w, cache, x0, nz, CFG, max_frames=FRAMES, num_steps=1,
+            eos_enabled=False,
+        )
+        return np.asarray(res.latents)
+
+    want = run(shard=False)
+    got = run(shard=True)
+    assert_close(got, want, atol=2e-5, rtol=2e-5)
