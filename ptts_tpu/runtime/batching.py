@@ -17,6 +17,14 @@ over hundreds of steps.
 Shapes stay static for jit: the pool is [B+1] rows where row B is a trash
 slot that absorbs padded admissions; admit groups are padded to
 ``admit_chunk``; every frame step runs the full pool with done-masking.
+
+The step loop is double-buffered (``pipeline=True``): frame N+1 is
+dispatched to the device before frame N's PCM is converted on the host, so
+the readback RPC overlaps device compute (same contract as
+StreamingSession). Host mirrors of cursor/frame/done state keep dispatch
+decisions sync-free; admissions landing while a frame is in flight are
+sequence-tracked so the stale frame cannot clobber a new slot's liveness.
+Outputs are bit-identical to the serial loop (equality-tested).
 """
 
 from __future__ import annotations
@@ -62,8 +70,11 @@ class Result:
 
 @functools.partial(
     jax.jit, static_argnames=("cfg",),
-    donate_argnames=("cache", "x_all", "eos_step", "done", "frame_idx",
-                     "mimi_state", "time_embs"),
+    # only the big buffers are donated: the [B1]-scalar state (done,
+    # eos_step, frame_idx) and x_all stay un-donated because the in-flight
+    # pipelined frame (ContinuousBatcher._pending) still references them
+    # when an admission lands between its dispatch and its collection
+    donate_argnames=("cache", "mimi_state", "time_embs"),
 )
 def admit_slots(
     w,
@@ -159,7 +170,7 @@ class ContinuousBatcher:
 
     def __init__(self, engine, slots: int = 32, max_len: int = 512,
                  admit_chunk: int = 8, prefix_budget: int = 128,
-                 max_num_steps: int = 8):
+                 max_num_steps: int = 8, pipeline: bool = True):
         self.engine = engine
         self.cfg = engine.flowlm_cfg
         self.slots = slots
@@ -203,6 +214,21 @@ class ContinuousBatcher:
         self._eos_threshold = np.full(self.B1, 1e30, np.float32)
         self._eos_min_frames = np.ones(self.B1, np.int32)
         self._noise: List[Optional[np.ndarray]] = [None] * self.B1
+
+        # Host MIRRORS of device state, so the double-buffered step loop
+        # (dispatch frame N+1 before reading frame N's chunk) never has to
+        # sync the device mid-step. All are exact except _done_np, which
+        # lags the device by the one in-flight frame (EOS decisions arrive
+        # with the readback) -- everywhere it is consumed (admission,
+        # compaction) a lagged "still running" view is conservative-safe.
+        self._cursor_np = prefix_budget          # mirrors cache.cursor
+        self._start_np = np.full(self.B1, prefix_budget, np.int64)
+        self._frame_np = np.zeros(self.B1, np.int64)   # mirrors frame_idx
+        self._done_np = np.ones(self.B1, bool)         # lagged device done
+        self._pending = None                     # dispatched, not collected
+        self._seq = 0                            # dispatch counter
+        self._admit_seq = np.full(self.B1, -1, np.int64)
+        self.pipeline = pipeline
 
     # -- submission ----------------------------------------------------------
 
@@ -285,6 +311,12 @@ class ContinuousBatcher:
                 self._eos_threshold[slot] = req.eos_threshold
                 self._eos_min_frames[slot] = req.eos_min_frames
                 self._noise[slot] = req.noise
+                # host mirrors (see __init__): slot becomes live for every
+                # dispatch with seq >= the current counter
+                self._start_np[slot] = self._cursor_np
+                self._frame_np[slot] = 0
+                self._done_np[slot] = False
+                self._admit_seq[slot] = self._seq
 
             (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
              self.mimi_state, self.time_embs) = admit_slots(
@@ -295,30 +327,42 @@ class ContinuousBatcher:
             )
 
     def _gather_noise(self) -> np.ndarray:
-        frame = np.asarray(self.frame_idx)
         noise = np.zeros((self.B1, self.cfg.latent_dim), np.float32)
         for slot in range(self.slots):
             req = self.slot_req[slot]
-            if req is not None and frame[slot] < len(self._noise[slot]):
-                noise[slot] = self._noise[slot][frame[slot]]
+            if req is not None and self._frame_np[slot] < len(self._noise[slot]):
+                noise[slot] = self._noise[slot][self._frame_np[slot]]
         return noise
 
-    def step(self) -> int:
-        """Admit + one frame for every active slot. Returns #active streams."""
-        self._admit()
-        active_slots = [i for i in range(self.slots) if self.slot_req[i] is not None]
-        if not active_slots:
-            return 0
-        if int(self.cache.cursor) >= self.max_len:
-            self.cache = compact_cache(self.cache, self.done, self.prefix_budget)
-            if int(self.cache.cursor) >= self.max_len:
-                raise api.PttsError(
-                    "cache exhausted even after compaction; raise max_len"
-                )
-        engine = self.engine
+    # -- double-buffered frame machinery --------------------------------------
+    #
+    # step() dispatches frame N+1 to the device BEFORE converting frame N's
+    # PCM on the host, so the readback RPC overlaps device compute (same
+    # contract as StreamingSession.pipeline). The host mirrors in __init__
+    # carry everything dispatch decisions need; admissions that land between
+    # a frame's dispatch and its collection are sequence-tracked so the
+    # stale in-flight frame can't clobber the new slot's liveness.
 
-        was_done = np.asarray(self.done).copy()
+    def _maybe_compact(self) -> None:
+        if self._cursor_np < self.max_len:
+            return
+        done_view = jnp.asarray(self._done_np)
+        self.cache = compact_cache(self.cache, done_view, self.prefix_budget)
+        # mirror the device's new layout exactly (same formula, same mask)
+        n = np.where(self._done_np, 0, self._cursor_np - self._start_np)
+        new_cursor = int(self.prefix_budget + n.max())
+        self._start_np = new_cursor - n
+        self._cursor_np = new_cursor
+        if new_cursor >= self.max_len:
+            raise api.PttsError(
+                "cache exhausted even after compaction; raise max_len"
+            )
+
+    def _dispatch(self) -> None:
+        """Queue one pool frame on the device; start the PCM host copy."""
+        engine = self.engine
         noise = jnp.asarray(self._gather_noise(), engine.dtype)
+        was_done_dev = self.done  # DEVICE pre-step done: exact chunk routing
         # eos params are per-slot arrays; "disabled" is threshold=+1e30
         (self.cache, self.mimi_state, self.x, pcm, eos,
          self.eos_step, self.done) = fused_stream_step(
@@ -330,11 +374,30 @@ class ContinuousBatcher:
             jnp.asarray(self._num_steps),
         )
         self.frame_idx = self.frame_idx + 1
+        try:  # overlap the transfer with the next frame's device work
+            pcm.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending = (pcm, self.done, was_done_dev, self._seq)
+        self._seq += 1
+        self._frame_np += 1
+        self._cursor_np += 1
 
-        pcm_np = np.asarray(pcm, np.float32)
-        done_np = np.asarray(self.done)
-        for slot in active_slots:
+    def _collect(self, pend) -> int:
+        """Read an in-flight frame's chunk; finalize finished requests."""
+        pcm_dev, done_dev, was_done_dev, seq = pend
+        pcm_np = np.asarray(pcm_dev, np.float32)
+        done_np = np.asarray(done_dev)
+        was_done = np.asarray(was_done_dev)
+        # slots admitted AFTER this frame was dispatched keep their mirror
+        # (the frame predates them); the trash row is never live on the host
+        fresh = self._admit_seq > seq
+        self._done_np = np.where(fresh, self._done_np, done_np)
+        self._done_np[self.trash] = True
+        for slot in range(self.slots):
             req = self.slot_req[slot]
+            if req is None or fresh[slot]:
+                continue
             if not was_done[slot]:
                 self.chunks[req.rid].append(pcm_np[slot])
             if done_np[slot]:
@@ -348,6 +411,25 @@ class ContinuousBatcher:
                 self._noise[slot] = None
         return sum(1 for s in self.slot_req if s is not None)
 
+    def step(self) -> int:
+        """Admit + collect one frame for the pool. Returns #active streams."""
+        if self._pending is not None and all(r is None for r in self.slot_req):
+            pend, self._pending = self._pending, None
+            self._collect(pend)  # flush a stale speculative frame
+        self._admit()
+        have_active = any(r is not None for r in self.slot_req)
+        if self._pending is None:
+            if not have_active:
+                return 0
+            self._maybe_compact()
+            self._dispatch()
+        pend, self._pending = self._pending, None
+        if self.pipeline and not self._done_np[: self.slots].all():
+            # speculative next frame: overlaps the readback in _collect()
+            self._maybe_compact()
+            self._dispatch()
+        return self._collect(pend)
+
     def drain(self, max_steps: int = 100000) -> Dict[int, Result]:
         steps = 0
         while (self.queue or any(r is not None for r in self.slot_req)):
@@ -355,4 +437,7 @@ class ContinuousBatcher:
             steps += 1
             if steps > max_steps:
                 raise RuntimeError("continuous batcher failed to drain")
+        if self._pending is not None:
+            pend, self._pending = self._pending, None
+            self._collect(pend)  # retire the trailing speculative frame
         return self.finished

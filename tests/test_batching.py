@@ -151,3 +151,36 @@ def test_num_steps_above_pool_cap_rejected(ctx):
                                 max_num_steps=2)
     with pytest.raises(api.PttsError):
         batcher.submit("hello", params=api.Params(num_frames=2, num_steps=3))
+
+
+def test_pipelined_equals_serial_batcher(ctx):
+    """Double-buffered step loop (dispatch N+1 before collecting N) must
+    produce identical results to the serial loop, including staggered
+    admissions into freed slots and ragged EOS."""
+    def build(pipeline):
+        return ContinuousBatcher(ctx.engine, slots=2, max_len=96,
+                                 admit_chunk=2, prefix_budget=32,
+                                 max_num_steps=2, pipeline=pipeline)
+
+    specs = [
+        ("hello world", api.Params(num_frames=4, num_steps=1, seed=21,
+                                   temp=0.5, eos_enabled=False)),
+        ("how low", api.Params(num_frames=6, num_steps=2, seed=22, temp=0.7,
+                               eos_enabled=True, eos_threshold=-1e9,
+                               eos_min_frames=2, eos_after=1)),
+        ("hello hello", api.Params(num_frames=3, num_steps=1, seed=23,
+                                   temp=0.4, eos_enabled=False)),
+        ("world world", api.Params(num_frames=5, num_steps=2, seed=24,
+                                   temp=0.9, eos_enabled=False)),
+    ]
+    results = {}
+    for pipeline in (False, True):
+        b = build(pipeline)
+        rids = [b.submit(t, params=p) for t, p in specs]
+        results[pipeline] = (rids, b.drain())
+    rids_s, res_s = results[False]
+    rids_p, res_p = results[True]
+    assert rids_s == rids_p
+    for rid in rids_s:
+        assert res_s[rid].frames == res_p[rid].frames
+        np.testing.assert_array_equal(res_s[rid].audio, res_p[rid].audio)
