@@ -31,7 +31,7 @@ import numpy as np
 
 from ..config import FlowLMConfig, KernelFlags
 from ..ops.activations import gelu_erf, silu
-from ..ops.attention import causal_attention, decode_attention
+from ..ops.attention import causal_attention
 from ..ops.norms import kyutai_rmsnorm, layernorm
 from ..ops.rope import permute_qk_rows_for_rope, rope_rotate_halves
 

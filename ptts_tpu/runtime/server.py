@@ -1,0 +1,230 @@
+"""Minimal production-style HTTP TTS server over the ContinuousBatcher.
+
+Stdlib-only (http.server + threading): the reference ships a CLI binary;
+this is the serving front door the north star asks for on top of it --
+concurrent requests share one device-resident slot pool, new utterances are
+admitted into freed KV slots mid-flight, and each response is a complete
+16-bit WAV.
+
+    python -m ptts_tpu.runtime.server --model-dir <dir> --port 8080
+    curl -d '{"text": "hello world"}' http://localhost:8080/tts > out.wav
+
+Endpoints:
+    POST /tts     {"text": str, "voice"?: str, "num_frames"?: int,
+                   "num_steps"?: int, "temp"?: float, "seed"?: int,
+                   "eos_enabled"?: bool}           -> audio/wav
+    GET  /healthz                                  -> 200 "ok"
+    GET  /stats                                    -> engine timing summary
+
+Threading model: HTTP handlers only enqueue requests and wait on a
+condition; ONE serving thread owns the batcher and drives ``step()`` while
+anything is queued or active (the batcher itself is not thread-safe). The
+double-buffered batcher step overlaps each chunk's readback with the next
+frame's device work, so the serving thread is the only place device latency
+is paid.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from .. import api
+from ..io.wav import Audio, quantize_i16
+from .batching import ContinuousBatcher
+
+
+def wav_bytes(audio: Audio) -> bytes:
+    """In-memory WAV with the reference's exact header/quantization."""
+    bits = 16
+    nch = audio.channels
+    data_bytes = audio.num_samples * nch * (bits // 8)
+    byte_rate = audio.sample_rate * nch * (bits // 8)
+    pcm = quantize_i16(audio.samples[: audio.num_samples * nch])
+    buf = io.BytesIO()
+    buf.write(b"RIFF")
+    buf.write(struct.pack("<I", 36 + data_bytes))
+    buf.write(b"WAVE")
+    buf.write(b"fmt ")
+    buf.write(struct.pack("<IHHIIHH", 16, 1, nch, audio.sample_rate,
+                          byte_rate, nch * (bits // 8), bits))
+    buf.write(b"data")
+    buf.write(struct.pack("<I", data_bytes))
+    buf.write(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+class TTSService:
+    """Owns the batcher; one background thread drives the serving loop."""
+
+    def __init__(self, ctx: "api.Context", slots: int = 16,
+                 max_len: int = 768, prefix_budget: int = 128,
+                 max_num_steps: int = 8):
+        self.ctx = ctx
+        self.batcher = ContinuousBatcher(
+            ctx.engine, slots=slots, max_len=max_len,
+            prefix_budget=prefix_budget, max_num_steps=max_num_steps,
+        )
+        self._cv = threading.Condition()
+        self._results = {}
+        self._errors = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- request lifecycle ----------------------------------------------------
+
+    def submit(self, text: str, voice: Optional[str] = None,
+               params: Optional["api.Params"] = None) -> int:
+        with self._cv:
+            rid = self.batcher.submit(text, voice=voice, params=params)
+            self._cv.notify_all()
+        return rid
+
+    def wait(self, rid: int, timeout: Optional[float] = None) -> Audio:
+        with self._cv:
+            ok = self._cv.wait_for(
+                lambda: rid in self._results or rid in self._errors,
+                timeout=timeout,
+            )
+            if not ok:
+                raise TimeoutError(f"request {rid} timed out")
+            if rid in self._errors:
+                raise self._errors.pop(rid)
+            return self._results.pop(rid)
+
+    def generate(self, text: str, voice: Optional[str] = None,
+                 params: Optional["api.Params"] = None,
+                 timeout: Optional[float] = None) -> Audio:
+        return self.wait(self.submit(text, voice, params), timeout=timeout)
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=30)
+
+    # -- serving loop ---------------------------------------------------------
+
+    def _loop(self) -> None:
+        b = self.batcher
+        sr = api.Params().sample_rate
+        while True:
+            with self._cv:
+                self._cv.wait_for(
+                    lambda: self._stop or b.queue
+                    or any(r is not None for r in b.slot_req)
+                )
+                if self._stop:
+                    return
+                try:
+                    b.step()
+                except Exception as e:  # surface to every waiter
+                    for req in list(b.queue):
+                        self._errors[req.rid] = e
+                    b.queue.clear()
+                    for slot, req in enumerate(b.slot_req):
+                        if req is not None:
+                            self._errors[req.rid] = e
+                            b.slot_req[slot] = None
+                    self._cv.notify_all()
+                    continue
+                if b.finished:
+                    for rid, res in list(b.finished.items()):
+                        del b.finished[rid]
+                        self._results[rid] = Audio(
+                            sample_rate=sr, channels=1,
+                            samples=np.asarray(res.audio, np.float32),
+                        )
+                    self._cv.notify_all()
+
+
+def make_handler(service: TTSService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/stats":
+                body = json.dumps(service.ctx.engine.stats()).encode()
+                self._send(200, body, "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+                pkw = {k: req[k] for k in
+                       ("num_frames", "num_steps", "temp", "seed",
+                        "eos_enabled", "eos_threshold", "eos_min_frames",
+                        "eos_after", "noise_clamp") if k in req}
+                audio = service.generate(
+                    text, voice=req.get("voice"),
+                    params=api.Params(**pkw), timeout=300,
+                )
+                self._send(200, wav_bytes(audio), "audio/wav")
+            except (KeyError, json.JSONDecodeError) as e:
+                self._send(400, f"bad request: {e}".encode(), "text/plain")
+            except Exception as e:
+                self._send(500, f"error: {e}".encode(), "text/plain")
+
+    return Handler
+
+
+def serve(ctx: "api.Context", host: str = "127.0.0.1", port: int = 8080,
+          **service_kw) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .serve_forever())."""
+    service = TTSService(ctx, **service_kw)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd.tts_service = service
+    return httpd
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="ptts-tpu HTTP TTS server")
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--max-len", type=int, default=768)
+    args = ap.parse_args()
+
+    ctx = api.load_dir(args.model_dir)
+    httpd = serve(ctx, host=args.host, port=args.port, slots=args.slots,
+                  max_len=args.max_len)
+    print(f"[ptts] serving on http://{args.host}:{args.port} "
+          f"({args.slots} slots)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.tts_service.close()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""HTTP serving front door (runtime/server.py) on the tiny synthetic model.
+
+Real end-to-end: a ThreadingHTTPServer + TTSService over the
+ContinuousBatcher, driven through actual HTTP requests; responses are
+16-bit WAVs that must match the offline engine output exactly.
+"""
+
+import http.client
+import json
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from helpers import TINY_FLOWLM, TINY_MIMI, write_model_dir
+from ptts_tpu import api
+from ptts_tpu.io.wav import quantize_i16
+from ptts_tpu.runtime import server as srv
+
+
+@pytest.fixture(scope="module")
+def httpd(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srvmodel")
+    path, fw, mw = write_model_dir(d, seed=6)
+    ctx = api.Context(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
+    httpd = srv.serve(ctx, host="127.0.0.1", port=0, slots=2, max_len=96,
+                      prefix_budget=32, max_num_steps=4)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd
+    httpd.shutdown()
+    httpd.tts_service.close()
+
+
+def _post(httpd, payload):
+    conn = http.client.HTTPConnection(*httpd.server_address, timeout=300)
+    conn.request("POST", "/tts", json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), body
+
+
+def _parse_wav(body):
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    assert body[36:40] == b"data"
+    (nbytes,) = struct.unpack("<I", body[40:44])
+    return np.frombuffer(body[44 : 44 + nbytes], "<i2")
+
+
+def test_healthz_and_stats(httpd):
+    conn = http.client.HTTPConnection(*httpd.server_address, timeout=60)
+    conn.request("GET", "/healthz")
+    assert conn.getresponse().read() == b"ok"
+    conn.request("GET", "/stats")
+    stats = json.loads(conn.getresponse().read())
+    assert isinstance(stats, dict)
+    conn.close()
+
+
+def test_tts_matches_offline(httpd):
+    p = {"text": "hello world", "num_frames": 4, "num_steps": 1, "seed": 5,
+         "temp": 0.5, "eos_enabled": False}
+    status, ctype, body = _post(httpd, p)
+    assert status == 200 and ctype == "audio/wav"
+    got = _parse_wav(body)
+
+    # offline reference: batcher seeds noise with seed + rid; this was the
+    # first request, rid 0
+    ctx = httpd.tts_service.ctx
+    want = ctx.engine.generate(
+        "hello world",
+        params=api.Params(num_frames=4, num_steps=1, seed=5, temp=0.5,
+                          eos_enabled=False),
+    )
+    want_i16 = quantize_i16(want.samples)
+    # streaming-Mimi (batcher) vs whole-sequence decode differ at float
+    # rounding; after 16-bit quantization that is at most 1 LSB
+    diff = np.abs(got.astype(np.int32) - want_i16.astype(np.int32))
+    assert diff.max() <= 1
+
+
+def test_concurrent_requests(httpd):
+    """More in-flight requests than slots, issued from parallel client
+    threads; each response must be a valid WAV of the right length."""
+    payloads = [
+        {"text": t, "num_frames": f, "num_steps": 1, "seed": 50 + i,
+         "eos_enabled": False}
+        for i, (t, f) in enumerate(
+            [("hello world", 3), ("how low", 4), ("hello hello", 2),
+             ("world world", 5)])
+    ]
+    results = [None] * len(payloads)
+
+    def worker(i):
+        results[i] = _post(httpd, payloads[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(payloads))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    fs = TINY_MIMI.frame_samples
+    for (status, ctype, body), p in zip(results, payloads):
+        assert status == 200, body
+        assert len(_parse_wav(body)) == p["num_frames"] * fs
+
+
+def test_bad_request(httpd):
+    status, _, body = _post(httpd, {"no_text": True})
+    assert status == 400
