@@ -318,12 +318,17 @@ def transformer(w: Weights, x: jnp.ndarray, cfg: MimiConfig,
             # fused RoPE + windowed attention straight off the QKV projection
             # (ops/pallas/fused_attention.py) -- skips the q/k/v split, the
             # XLA-side rotation, and their layout copies (~35 ms/call at
-            # B=256, T=800 on v5e)
+            # B=256, T=800 on v5e). The key-block size adapts to T so grid
+            # padding stays small (a fixed 256 pads T=800 by 28%): largest
+            # block count with block >= context-1, rows rounded to sublanes.
             from ..ops.pallas.fused_attention import window_attention_qkv
 
+            nb = max(1, T // max(cfg.context - 1, 1))
+            fblock = max(-(-T // nb), cfg.context - 1)
+            fblock = ((fblock + 7) // 8) * 8
             attn = window_attention_qkv(
                 qkv, num_heads=H, head_dim=D, context=cfg.context,
-                block=block, max_period=cfg.max_period,
+                block=fblock, max_period=cfg.max_period,
             )
         else:
             q = qkv[..., :d].reshape(B, T, H, D)
