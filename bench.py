@@ -97,12 +97,15 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
         else:
             # the engine's serving path: on-device lax.while_loop with full
             # per-frame EOS bookkeeping (ptts_flowlm.c:1207-1238 semantics)
+            # and the TRUE per-stream frame budget (the dynamic trip count
+            # stops at the requested length, not the compile bucket)
             res = flowlm.generate_latents_while(
                 fw, cache, x0, noise, cfg, max_frames=frame_bucket,
                 num_steps=1,
                 eos_threshold=1e9 if eos_mode == "on" else -1e9,
                 eos_min_frames=1,
                 eos_after=ragged_after if eos_mode == "ragged" else 0,
+                max_frames_per_stream=jnp.full((batch,), frames, jnp.int32),
             )
         return scale_and_decode(fw, mw, res.latents), res.frames_used
 

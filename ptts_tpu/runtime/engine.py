@@ -155,8 +155,16 @@ class TTSEngine:
         params: "api.Params",
         noise: Optional[np.ndarray] = None,  # [B, max_frames, latent] override
         eos_after: Optional[np.ndarray] = None,  # [B] per-stream override
+        frames_each: Optional[np.ndarray] = None,  # [B] per-stream budgets
     ) -> flowlm.GenResult:
-        """Run the jitted prefill + AR loop for B ragged streams."""
+        """Run the jitted prefill + AR loop for B ragged streams.
+
+        ``frames_each`` (default: max_frames for every stream) is the true
+        per-stream frame budget: the EOS while_loop's trip count is dynamic,
+        so it stops at the REQUESTED length instead of the compile bucket
+        (frame bucketing still bounds recompiles; the loop just exits early
+        -- the reference generates exactly num_frames, ptts_flowlm.c:1207).
+        """
         cfg = self.flowlm_cfg
         B = len(prefixes)
         lengths = np.array([len(p) for p in prefixes], np.int32)
@@ -205,12 +213,17 @@ class TTSEngine:
             # (ptts_flowlm.c:1238) with zero host round trips (replaces the
             # round-1 chunked host-early-exit loop, which paid up to
             # frame_bucket-1 wasted frames per utterance).
+            budgets = jnp.asarray(
+                frames_each if frames_each is not None else max_frames,
+                jnp.int32,
+            )
             return flowlm.generate_latents_while(
                 self.fw, cache, x0, jnp.asarray(noise, self.dtype), cfg,
                 max_frames=frames, num_steps=params.num_steps,
                 eos_threshold=params.eos_threshold,
                 eos_min_frames=params.eos_min_frames,
                 eos_after=ea, flags=flags,
+                max_frames_per_stream=jnp.broadcast_to(budgets, (B,)),
             )
 
         try:
@@ -337,7 +350,8 @@ class TTSEngine:
 
         max_frames = max(frames)
         res = self.generate_latents_batch(
-            prefixes, max_frames, p, eos_after=np.asarray(eos_afters, np.int32)
+            prefixes, max_frames, p, eos_after=np.asarray(eos_afters, np.int32),
+            frames_each=np.asarray(frames, np.int32),
         )
         used = np.minimum(np.asarray(res.frames_used), np.asarray(frames))
         scaled = flowlm.scale_latents(self.fw, res.latents)
