@@ -202,17 +202,13 @@ class TTSEngine:
                 self.fw, jnp.asarray(padded, self.dtype),
                 jnp.asarray(lengths), cfg, max_len, self.prefill_impl
             )
-            if not params.eos_enabled:
-                return flowlm.generate_latents(
-                    self.fw, cache, x0, jnp.asarray(noise, self.dtype), cfg,
-                    max_frames=frames, num_steps=params.num_steps,
-                    eos_enabled=False, eos_after=ea, flags=flags,
-                )
-            # EOS path: one on-device lax.while_loop that stops the moment
-            # every stream is done -- the reference's per-frame break at EOS
-            # (ptts_flowlm.c:1238) with zero host round trips (replaces the
-            # round-1 chunked host-early-exit loop, which paid up to
-            # frame_bucket-1 wasted frames per utterance).
+            # One on-device lax.while_loop that stops the moment every
+            # stream is done -- the reference's per-frame break at EOS
+            # (ptts_flowlm.c:1238) with zero host round trips, exiting at
+            # each stream's TRUE frame budget rather than the compile
+            # bucket (bit-equal to the scan path,
+            # tests/test_flowlm.py::test_while_loop_generation_matches_scan).
+            # EOS-disabled == a threshold that can never fire.
             budgets = jnp.asarray(
                 frames_each if frames_each is not None else max_frames,
                 jnp.int32,
@@ -220,7 +216,8 @@ class TTSEngine:
             return flowlm.generate_latents_while(
                 self.fw, cache, x0, jnp.asarray(noise, self.dtype), cfg,
                 max_frames=frames, num_steps=params.num_steps,
-                eos_threshold=params.eos_threshold,
+                eos_threshold=(params.eos_threshold if params.eos_enabled
+                               else 1e30),
                 eos_min_frames=params.eos_min_frames,
                 eos_after=ea, flags=flags,
                 max_frames_per_stream=jnp.broadcast_to(budgets, (B,)),
