@@ -143,7 +143,8 @@ class StreamingSession:
 
     def __init__(self, engine, prefixes: List[np.ndarray], max_frames: int,
                  params: "api.Params", eos_after: np.ndarray,
-                 pipeline: bool = True):
+                 pipeline: bool = True,
+                 frames_each: Optional[np.ndarray] = None):
         self.engine = engine
         cfg = engine.flowlm_cfg
         self.cfg = cfg
@@ -151,6 +152,12 @@ class StreamingSession:
         self.max_frames = max_frames
         B = len(prefixes)
         self.batch = B
+        # per-stream frame budgets: a stream stops (and stops emitting
+        # active chunks) at ITS requested num_frames, not the session max
+        self.frames_each = jnp.asarray(
+            frames_each if frames_each is not None
+            else np.full(B, max_frames), jnp.int32,
+        )
 
         lengths = np.array([len(p) for p in prefixes], np.int32)
         T0 = int(lengths.max())
@@ -204,7 +211,8 @@ class StreamingSession:
             frames.append(p.num_frames if p.num_frames > 0 else estimate_frames(wc))
             eos_afters.append(p.eos_after if p.eos_after > 0 else eos_after_guess)
         return cls(engine, prefixes, max(frames), p,
-                   np.asarray(eos_afters, np.int32), pipeline=pipeline)
+                   np.asarray(eos_afters, np.int32), pipeline=pipeline,
+                   frames_each=np.asarray(frames, np.int32))
 
     # -- stepping -------------------------------------------------------------
 
@@ -226,7 +234,7 @@ class StreamingSession:
             self.time_embs, jnp.int32(self.frame), self.eos_step, self.done,
             self.cfg, engine.mimi_cfg, bool(self.params.eos_enabled),
             self.params.eos_threshold, self.params.eos_min_frames,
-            self.eos_after,
+            self.eos_after, self.frames_each,
         )
         try:  # overlap the transfer with the next frame's device work
             pcm.copy_to_host_async()

@@ -75,3 +75,33 @@ def test_pipelined_equals_serial(ctx):
         assert np.array_equal(a.active, b.active)
         np.testing.assert_array_equal(a.pcm, b.pcm)
     np.testing.assert_array_equal(serial.frames_used, piped.frames_used)
+
+
+def test_per_stream_frame_budgets(ctx):
+    """A stream with a smaller requested num_frames stops emitting active
+    chunks at ITS budget while the longer stream continues to the max."""
+    p = api.Params(num_frames=0, num_steps=1, seed=3, temp=0.4,
+                   eos_enabled=False)
+    # num_frames=0 -> per-text estimate_frames; force explicit budgets via
+    # the constructor instead for determinism
+    from ptts_tpu.runtime.streaming import StreamingSession as S
+
+    prefixes, eos_afters = [], []
+    for text in ("hello world", "how low"):
+        from ptts_tpu.text import prepare_text
+        prepared, wc, guess = prepare_text(text)
+        ids = ctx.engine.ctx.tokenize(prepared)
+        cond, _ = ctx.engine._voice_cond(None)
+        prefixes.append(ctx.engine._build_prefix(ids, cond))
+        eos_afters.append(guess)
+    sess = S(ctx.engine, prefixes, 5,
+             api.Params(num_frames=5, num_steps=1, seed=3, temp=0.4,
+                        eos_enabled=False).normalized(),
+             np.asarray(eos_afters, np.int32),
+             frames_each=np.asarray([2, 5], np.int32))
+    chunks = [c for c in sess]
+    assert len(chunks) == 5
+    actives = np.stack([c.active for c in chunks])   # [5, 2]
+    assert actives[:, 0].tolist() == [True, True, False, False, False]
+    assert actives[:, 1].tolist() == [True] * 5
+    assert sess.frames_used.tolist() == [2, 5]
