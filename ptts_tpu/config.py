@@ -111,6 +111,12 @@ class KernelFlags:
     # "xla", or "pallas" (experimental fused single-kernel decoder;
     # models/mimi.resolve_conv_impl).
     conv_impl: str = "auto"
+    # Transformer/flow-net layer loop: "auto" (== "scan"), "scan"
+    # (lax.scan over the stacked [L, ...] weight pytree -- one compiled
+    # layer body, ~6x smaller HLO, cuts the serving while_loop's XLA
+    # compile from ~920 s to under a minute), or "unroll" (the Python
+    # loop; kept as the bit-equality cross-check path).
+    layer_impl: str = "auto"
     validate: bool = False  # run both paths, report maxdiff (PTTS_CUDA_VALIDATE analogue)
 
 

@@ -71,6 +71,22 @@ def _decode_attention_dispatch(q, k_cache, v_cache, mask, scalars,
 
 Weights = Dict[str, Any]
 
+_LAYER_KEYS = ("in_proj", "out_proj", "norm1_w", "norm1_b",
+               "norm2_w", "norm2_b", "linear1", "linear2")
+
+
+def _layer_weights(w: Weights) -> Dict[str, jnp.ndarray]:
+    """The per-layer weight pytree, every leaf stacked [L, ...]."""
+    return {k: w[k] for k in _LAYER_KEYS}
+
+
+def _resolve_layer_impl(flags: KernelFlags) -> str:
+    """'auto' == 'scan': the layer loops compile as one lax.scan body
+    instead of L inlined copies. Identical math and op order per layer;
+    the 'unroll' path is kept as the cross-check
+    (tests/test_layer_scan.py)."""
+    return "scan" if flags.layer_impl == "auto" else flags.layer_impl
+
 
 # ---------------------------------------------------------------------------
 # Weight loading
@@ -358,17 +374,20 @@ def prefill_kv(
     lengths: jnp.ndarray,  # [B] int32 valid positions
     cfg: FlowLMConfig,
     attn_impl: str = "xla",
+    flags: KernelFlags = DEFAULT_FLAGS,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Batched causal prompt pass. Returns (k [L,B,T,H,D], v, last [B,d])."""
+    """Batched causal prompt pass. Returns (k [L,B,T,H,D], v, last [B,d]).
+
+    The layer loop is a lax.scan over the stacked [L, ...] weight pytree
+    (one compiled layer body; flags.layer_impl='unroll' restores the
+    inlined Python loop for cross-checks)."""
     B, T, d = x.shape
     H, D = cfg.num_heads, cfg.head_dim
     positions = jnp.arange(T)
 
-    k_layers = []
-    v_layers = []
-    for l in range(cfg.num_layers):
-        xn = layernorm(x, w["norm1_w"][l], w["norm1_b"][l], cfg.ln_eps)
-        qkv = _linear(w["in_proj"][l], None, xn)
+    def layer(x, wl):
+        xn = layernorm(x, wl["norm1_w"], wl["norm1_b"], cfg.ln_eps)
+        qkv = _linear(wl["in_proj"], None, xn)
         if attn_impl == "pallas":
             # fused RoPE + causal attention off the raw QKV projection
             # (ops/pallas/fused_attention.py); rotated K comes back as a
@@ -386,20 +405,30 @@ def prefill_kv(
             q, k, v = _split_qkv(qkv, H, D)
             q, k = rope_rotate_halves(q, k, positions[None, :], cfg.max_period)
             attn = causal_attention(q, k, v, lengths=lengths)
-        x = x + _linear(w["out_proj"][l], None, attn.reshape(B, T, d))
-        xn = layernorm(x, w["norm2_w"][l], w["norm2_b"][l], cfg.ln_eps)
-        ff = gelu_erf(_linear(w["linear1"][l], None, xn))
-        x = x + _linear(w["linear2"][l], None, ff)
-        k_layers.append(k)
-        v_layers.append(v)
+        x = x + _linear(wl["out_proj"], None, attn.reshape(B, T, d))
+        xn = layernorm(x, wl["norm2_w"], wl["norm2_b"], cfg.ln_eps)
+        ff = gelu_erf(_linear(wl["linear1"], None, xn))
+        x = x + _linear(wl["linear2"], None, ff)
+        return x, (k, v)
 
-    k_new = jnp.stack(k_layers)  # [L, B, T, H, D]
-    v_new = jnp.stack(v_layers)
+    lw = _layer_weights(w)
+    if _resolve_layer_impl(flags) == "unroll":
+        k_layers, v_layers = [], []
+        for l in range(cfg.num_layers):
+            x, (k, v) = layer(x, jax.tree.map(lambda a: a[l], lw))
+            k_layers.append(k)
+            v_layers.append(v)
+        k_new = jnp.stack(k_layers)  # [L, B, T, H, D]
+        v_new = jnp.stack(v_layers)
+    else:
+        x, (k_new, v_new) = jax.lax.scan(layer, x, lw)
     last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0, :]
     return k_new, v_new, last
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_len", "attn_impl", "flags")
+)
 def prefill_init(
     w: Weights,
     x: jnp.ndarray,        # [B, T, d_model] prompt embeddings (padded)
@@ -407,6 +436,7 @@ def prefill_init(
     cfg: FlowLMConfig,
     max_len: int,
     attn_impl: str = "xla",
+    flags: KernelFlags = DEFAULT_FLAGS,
 ) -> Tuple[KVCache, jnp.ndarray]:
     """Batched causal prompt pass that BUILDS the cache in one pass.
 
@@ -416,7 +446,7 @@ def prefill_init(
     ~12 ms/call at B=256, Tmax=128 on v5e; see PERF.md prefill notes).
     """
     B, T, d = x.shape
-    k_new, v_new, last = prefill_kv(w, x, lengths, cfg, attn_impl)
+    k_new, v_new, last = prefill_kv(w, x, lengths, cfg, attn_impl, flags)
     pad = [(0, 0), (0, 0), (0, max_len - T), (0, 0), (0, 0)]
     cache = KVCache(
         k=jnp.pad(k_new, pad),
@@ -428,13 +458,15 @@ def prefill_init(
     return cache, last
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+@functools.partial(jax.jit, static_argnames=("cfg", "flags"),
+                   donate_argnames=("cache",))
 def prefill(
     w: Weights,
     cache: KVCache,
     x: jnp.ndarray,        # [B, T, d_model] prompt embeddings (padded)
     lengths: jnp.ndarray,  # [B] int32 valid positions
     cfg: FlowLMConfig,
+    flags: KernelFlags = DEFAULT_FLAGS,
 ) -> Tuple[KVCache, jnp.ndarray]:
     """Process the whole prompt in one causal pass, fill the cache, and return
     the transformer output at each stream's last valid position [B, d_model].
@@ -444,7 +476,7 @@ def prefill(
     MXU-shaped work.
     """
     B, T, d = x.shape
-    k_new, v_new, last = prefill_kv(w, x, lengths, cfg)
+    k_new, v_new, last = prefill_kv(w, x, lengths, cfg, flags=flags)
     k_cache = jax.lax.dynamic_update_slice(
         cache.k, k_new.astype(cache.k.dtype), (0, 0, 0, 0, 0)
     )
@@ -478,12 +510,13 @@ def decode_step(
     H, D = cfg.num_heads, cfg.head_dim
     pos = cache.pos          # [B] per-stream RoPE position
     cursor = cache.cursor    # scalar write column
-    k_cache, v_cache = cache.k, cache.v
     mask = cache.valid_mask(through_cursor=True)  # [B, Tmax]
 
-    for l in range(cfg.num_layers):
-        xn = layernorm(x, w["norm1_w"][l], w["norm1_b"][l], cfg.ln_eps)
-        qkv = _linear(w["in_proj"][l], None, xn)
+    def layer(x, k_cache, v_cache, l, wl, select):
+        """One KV-cached layer. ``select(cache)`` reads layer l's cache slice
+        (post-write); l may be a traced index in the scan path."""
+        xn = layernorm(x, wl["norm1_w"], wl["norm1_b"], cfg.ln_eps)
+        qkv = _linear(wl["in_proj"], None, xn)
         q, k, v = _split_qkv(qkv, H, D)  # [B, H, D]
         q, k = rope_rotate_halves(q[:, None], k[:, None], pos[:, None], cfg.max_period)
         q, k = q[:, 0], k[:, 0]
@@ -496,13 +529,35 @@ def decode_step(
         )
 
         attn = _decode_attention_dispatch(
-            q, k_cache[l], v_cache[l], mask,
+            q, select(k_cache), select(v_cache), mask,
             (cache.prefix_len, cache.start, cursor), flags,
         )
-        x = x + _linear(w["out_proj"][l], None, attn.reshape(B, d))
-        xn = layernorm(x, w["norm2_w"][l], w["norm2_b"][l], cfg.ln_eps)
-        ff = gelu_erf(_linear(w["linear1"][l], None, xn))
-        x = x + _linear(w["linear2"][l], None, ff)
+        x = x + _linear(wl["out_proj"], None, attn.reshape(B, d))
+        xn = layernorm(x, wl["norm2_w"], wl["norm2_b"], cfg.ln_eps)
+        ff = gelu_erf(_linear(wl["linear1"], None, xn))
+        x = x + _linear(wl["linear2"], None, ff)
+        return x, k_cache, v_cache
+
+    lw = _layer_weights(w)
+    if _resolve_layer_impl(flags) == "unroll":
+        k_cache, v_cache = cache.k, cache.v
+        for l in range(cfg.num_layers):
+            x, k_cache, v_cache = layer(
+                x, k_cache, v_cache, l,
+                jax.tree.map(lambda a: a[l], lw),
+                lambda c, l=l: c[l],
+            )
+    else:
+        def body(carry, inputs):
+            x, k_cache, v_cache = carry
+            l, wl = inputs
+            sel = lambda c: jax.lax.dynamic_index_in_dim(c, l, 0, keepdims=False)
+            return layer(x, k_cache, v_cache, l, wl, sel), None
+
+        (x, k_cache, v_cache), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v),
+            (jnp.arange(cfg.num_layers), lw),
+        )
 
     new_cache = cache._replace(k=k_cache, v=v_cache, cursor=cursor + 1)
     return new_cache, x
@@ -550,8 +605,12 @@ def flow_net(
     time_emb: jnp.ndarray,   # [flow_dim] hoisted (ts+tt)/2 for this step
     x_in: jnp.ndarray,       # [B, latent_dim]
     cfg: FlowLMConfig,
+    flags: KernelFlags = DEFAULT_FLAGS,
 ) -> jnp.ndarray:
-    """adaLN-modulated residual MLP stack (ptts_flowlm.c:655-762)."""
+    """adaLN-modulated residual MLP stack (ptts_flowlm.c:655-762).
+
+    The resblock loop scans over the stacked [depth, ...] weights (same
+    HLO-size rationale as prefill_kv/decode_step)."""
     fw = w["flow"]
     fd = cfg.flow_dim
     x = _linear(fw["input_w"], fw["input_b"], x_in)
@@ -559,15 +618,21 @@ def flow_net(
     tmp2 = time_emb.astype(cond_emb.dtype) + cond_emb  # [B, fd]
     mod = silu(tmp2)
 
-    res = fw["res"]
-    for b in range(cfg.flow_depth):
-        h = layernorm(x, res["in_ln_w"][b], res["in_ln_b"][b], cfg.flow_ln_eps)
-        ada = _linear(res["ada_w"][b], res["ada_b"][b], mod)
+    def block(x, rl):
+        h = layernorm(x, rl["in_ln_w"], rl["in_ln_b"], cfg.flow_ln_eps)
+        ada = _linear(rl["ada_w"], rl["ada_b"], mod)
         shift, scale, gate = ada[..., :fd], ada[..., fd : 2 * fd], ada[..., 2 * fd :]
         h = h * (1.0 + scale) + shift
-        h = _linear(res["mlp2_w"][b], res["mlp2_b"][b],
-                    silu(_linear(res["mlp0_w"][b], res["mlp0_b"][b], h)))
-        x = x + gate * h
+        h = _linear(rl["mlp2_w"], rl["mlp2_b"],
+                    silu(_linear(rl["mlp0_w"], rl["mlp0_b"], h)))
+        return x + gate * h
+
+    res = fw["res"]
+    if _resolve_layer_impl(flags) == "unroll":
+        for b in range(cfg.flow_depth):
+            x = block(x, jax.tree.map(lambda a: a[b], res))
+    else:
+        x, _ = jax.lax.scan(lambda c, rl: (block(c, rl), None), x, res)
 
     h = layernorm(x, None, None, cfg.flow_ln_eps)
     ada2 = _linear(fw["final_ada_w"], fw["final_ada_b"], mod)
@@ -581,6 +646,7 @@ def lsd_decode(
     time_embs: jnp.ndarray,   # [num_steps, flow_dim] from lsd_time_embeds
     x: jnp.ndarray,           # [B, latent_dim] initial noise
     cfg: FlowLMConfig,
+    flags: KernelFlags = DEFAULT_FLAGS,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Euler sampler (ptts_flowlm.c:764-779). Returns (latent, first_flow)."""
     fw = w["flow"]
@@ -590,7 +656,7 @@ def lsd_decode(
     def step(carry, inputs):
         xc, first = carry
         step_i, te = inputs
-        flow = flow_net(w, cond_emb, te, xc, cfg)
+        flow = flow_net(w, cond_emb, te, xc, cfg, flags)
         first = jnp.where(step_i == 0, flow, first)
         return (xc + flow / num_steps, first), None
 
@@ -607,6 +673,7 @@ def lsd_decode_ragged(
     num_steps: jnp.ndarray,   # [B] int32 per-stream Euler step counts
     x: jnp.ndarray,           # [B, latent_dim] initial noise
     cfg: FlowLMConfig,
+    flags: KernelFlags = DEFAULT_FLAGS,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Euler sampler with PER-STREAM step counts (heterogeneous
     Params.num_steps in the continuous batcher -- the reference honors params
@@ -624,7 +691,7 @@ def lsd_decode_ragged(
     def step(carry, inputs):
         xc, first = carry
         step_i, te = inputs          # te: [B, flow_dim]
-        flow = flow_net(w, cond_emb, te, xc, cfg)
+        flow = flow_net(w, cond_emb, te, xc, cfg, flags)
         first = jnp.where(step_i == 0, flow, first)
         active = (step_i < num_steps)[:, None]
         xc = xc + jnp.where(active, flow / n_b.astype(flow.dtype), 0.0)
@@ -706,7 +773,7 @@ def generate_latents(
         hit = eos_enabled & ((i + 1) >= eos_min_frames) & (eos >= eos_threshold)
         eos_step = jnp.where((eos_step < 0) & hit, i, eos_step)
 
-        latent, first_flow = lsd_decode(w, normed, time_embs, frame_noise, cfg)
+        latent, first_flow = lsd_decode(w, normed, time_embs, frame_noise, cfg, flags)
 
         # Parity taps: frame-0 cond vector and flow vector (main.c --cond-out /
         # --flow-out, /root/reference/main.c:354-392).
@@ -800,7 +867,7 @@ def generate_latents_while(
 
         frame_noise = jax.lax.dynamic_index_in_dim(noise_t, i, axis=0,
                                                    keepdims=False)
-        latent, first_flow = lsd_decode(w, normed, time_embs, frame_noise, cfg)
+        latent, first_flow = lsd_decode(w, normed, time_embs, frame_noise, cfg, flags)
 
         first_cond = jnp.where(i == 0, normed, first_cond)
         first_flow0 = jnp.where(i == 0, first_flow, first_flow0)

@@ -44,6 +44,7 @@ def flags_from_env() -> KernelFlags:
         conv_impl={"0": "xla", "1": "pallas"}.get(
             os.environ.get("PTTS_PALLAS_CONV", "auto"), "auto"
         ),
+        layer_impl=os.environ.get("PTTS_LAYER_IMPL", "auto"),
         validate=os.environ.get("PTTS_VALIDATE", "0") == "1",
     )
 from ..io.wav import Audio
@@ -97,6 +98,12 @@ class TTSEngine:
             # (quality bounded by tests/test_bf16.py).
             dtype = jnp.bfloat16 if os.environ.get("PTTS_DTYPE") == "bf16" \
                 else jnp.float32
+        # persistent compile cache: each serving executable compiles at most
+        # once per machine (PTTS_COMPILE_CACHE=0 disables; see
+        # utils/compile_cache.py and warmup() for the cold-start story)
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.ctx = ctx
         self.flowlm_cfg = ctx.flowlm_cfg
         self.mimi_cfg = ctx.mimi_cfg
@@ -200,7 +207,8 @@ class TTSEngine:
         def run(flags):
             cache, x0 = flowlm.prefill_init(
                 self.fw, jnp.asarray(padded, self.dtype),
-                jnp.asarray(lengths), cfg, max_len, self.prefill_impl
+                jnp.asarray(lengths), cfg, max_len, self.prefill_impl,
+                flags,
             )
             # One on-device lax.while_loop that stops the moment every
             # stream is done -- the reference's per-frame break at EOS
@@ -317,6 +325,31 @@ class TTSEngine:
         out = self.generate_full(text, voice=voice, params=params)
         assert out.audio is not None
         return out.audio
+
+    def warmup(self, batch_sizes: Sequence[int] = (1,),
+               num_frames: Optional[int] = None,
+               decode_audio: bool = True) -> float:
+        """Precompile the serving executables (prefill + EOS while_loop +
+        vocoder) for the given batch sizes at the engine's shape buckets.
+
+        The reference starts serving within seconds (per-call load,
+        ptts.c:1047-1059); a jitted path pays XLA compiles on first use
+        instead. Call this at deployment startup -- together with the
+        persistent compile cache (utils/compile_cache.py, enabled at
+        construction) the first request then runs at steady-state latency.
+        Returns wall seconds spent.
+        """
+        t0 = time.perf_counter()
+        cfg = self.flowlm_cfg
+        frames = num_frames if num_frames else self.frame_bucket
+        p = api.Params(num_steps=1, seed=0).normalized()
+        prefix = np.zeros((self.prefix_bucket, cfg.d_model), np.float32)
+        for B in batch_sizes:
+            res = self.generate_latents_batch([prefix] * B, frames, p)
+            if decode_audio:
+                scaled = flowlm.scale_latents(self.fw, res.latents)
+                self.decode_audio_batch(scaled)
+        return time.perf_counter() - t0
 
     def stats(self) -> dict:
         """Observability: per-span timing summary (counts/totals/min/max),

@@ -34,7 +34,8 @@ from ..text import estimate_frames, prepare_text
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "eos_enabled"), donate_argnames=("cache",)
+    jax.jit, static_argnames=("cfg", "eos_enabled", "flags"),
+    donate_argnames=("cache",),
 )
 def flow_frame_step(
     w,
@@ -52,6 +53,7 @@ def flow_frame_step(
     eos_after: jnp.ndarray,    # [B]
     max_frames: jnp.ndarray | None = None,  # [B] per-stream frame budget
     num_steps: jnp.ndarray | None = None,   # [B] when time_embs is [B, S, fd]
+    flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
 ):
     """One generation frame (mirrors the body of flowlm.generate_latents).
 
@@ -65,9 +67,9 @@ def flow_frame_step(
 
     if time_embs.ndim == 3:
         latent, _ = flowlm.lsd_decode_ragged(w, normed, time_embs, num_steps,
-                                             noise, cfg)
+                                             noise, cfg, flags)
     else:
-        latent, _ = flowlm.lsd_decode(w, normed, time_embs, noise, cfg)
+        latent, _ = flowlm.lsd_decode(w, normed, time_embs, noise, cfg, flags)
     newly_done = (eos_step >= 0) & (frame_idx >= eos_step + eos_after)
     done = done | newly_done
     if max_frames is not None:
@@ -76,12 +78,12 @@ def flow_frame_step(
     scaled = flowlm.scale_latents(w, latent)
     nxt = jnp.einsum("bi,oi->bo", latent, w["input_linear"],
                      preferred_element_type=jnp.float32).astype(x.dtype)
-    cache, x = flowlm.decode_step(w, cache, nxt, cfg)
+    cache, x = flowlm.decode_step(w, cache, nxt, cfg, flags)
     return cache, x, scaled, eos, eos_step, done
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "mcfg", "eos_enabled"),
+    jax.jit, static_argnames=("cfg", "mcfg", "eos_enabled", "flags"),
     donate_argnames=("cache", "mimi_state"),
 )
 def fused_stream_step(
@@ -103,6 +105,7 @@ def fused_stream_step(
     eos_after: jnp.ndarray,
     max_frames: jnp.ndarray | None = None,
     num_steps: jnp.ndarray | None = None,
+    flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
 ):
     """One serving frame in a single device program: FlowLM frame step +
     streaming-Mimi chunk decode. One dispatch per 80 ms frame (dispatch
@@ -112,7 +115,7 @@ def fused_stream_step(
     cache, x, scaled, eos, eos_step, done = flow_frame_step(
         fw, cache, x, noise, time_embs, frame_idx, eos_step, done,
         cfg, eos_enabled, eos_threshold, eos_min_frames, eos_after, max_frames,
-        num_steps,
+        num_steps, flags,
     )
     mimi_state, pcm = mimi_stream.decode_stream(
         mw, mimi_state, scaled[:, None, :], mcfg
@@ -177,7 +180,7 @@ class StreamingSession:
         cache = flowlm.make_cache(cfg, B, T0 + max_frames, engine.dtype)
         self.cache, self.x = flowlm.prefill(
             engine.fw, cache, jnp.asarray(padded, engine.dtype),
-            jnp.asarray(lengths), cfg
+            jnp.asarray(lengths), cfg, flags=engine.flags
         )
         self.time_embs = flowlm.lsd_time_embeds(engine.fw, params.num_steps, cfg)
         self.mimi_state = mimi_stream.init_state(
@@ -234,7 +237,7 @@ class StreamingSession:
             self.time_embs, jnp.int32(self.frame), self.eos_step, self.done,
             self.cfg, engine.mimi_cfg, bool(self.params.eos_enabled),
             self.params.eos_threshold, self.params.eos_min_frames,
-            self.eos_after, self.frames_each,
+            self.eos_after, self.frames_each, flags=engine.flags,
         )
         try:  # overlap the transfer with the next frame's device work
             pcm.copy_to_host_async()
