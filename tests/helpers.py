@@ -180,9 +180,33 @@ def _encoder_tensors(cfg) -> dict:
     return t
 
 
+# Mimi-owned tensor-name heads: everything else in a checkpoint belongs to
+# FlowLM. Mirrors the reference's two resolvers (find_tensor_flowlm tries
+# the 'flow_lm.' prefix, find_tensor_mimi tries 'mimi.'/'model.';
+# ptts_flowlm.c:107-122, ptts_mimi.c:77-95).
+MIMI_NAME_HEADS = ("quantizer.", "upsample.", "decoder.", "decoder_transformer.",
+                   "downsample.", "encoder.", "encoder_transformer.")
+
+
+def prefix_tensor_names(tensors: dict) -> dict:
+    """Rename to the real checkpoint's prefixed form: 'flow_lm.<name>' /
+    'mimi.<name>' (the exact-name form never appears in shipped
+    checkpoints; both implementations must hit their prefix fallbacks)."""
+    return {
+        (("mimi." if n.startswith(MIMI_NAME_HEADS) else "flow_lm.") + n): v
+        for n, v in tensors.items()
+    }
+
+
 def write_model_dir(path, fw=None, mw=None, flowlm_cfg=None, mimi_cfg=None,
-                    voice_frames: int = 3, seed: int = 0):
+                    voice_frames: int = 3, seed: int = 0,
+                    prefixed: bool = False, bf16: bool = False):
     """Create a synthetic model dir: weights + tokenizer.model + voice files.
+
+    ``prefixed`` stores tensors under the real checkpoint's
+    'flow_lm.'/'mimi.' names; ``bf16`` stores every tensor as BF16
+    (ptts_safetensors.c:325-330) -- the two format axes real checkpoints
+    exercise that exact-name F32 fixtures do not.
 
     Returns (model_dir, fw, mw).
     """
@@ -202,7 +226,10 @@ def write_model_dir(path, fw=None, mw=None, flowlm_cfg=None, mimi_cfg=None,
     path = str(path)
     os.makedirs(path, exist_ok=True)
     tensors = checkpoint_tensors(fw, mw, flowlm_cfg, mimi_cfg)
-    save_safetensors(os.path.join(path, "tts_b6369a24.safetensors"), tensors)
+    if prefixed:
+        tensors = prefix_tensor_names(tensors)
+    save_safetensors(os.path.join(path, "tts_b6369a24.safetensors"), tensors,
+                     bf16=tuple(tensors) if bf16 else ())
 
     # tokenizer: enough pieces to tokenize simple ASCII prompts
     from test_spm import BASIC_PIECES, make_model

@@ -21,7 +21,11 @@ identical inputs and gates:
   6. `--mimi-wave` WAV: identical header + length; int16 samples within
      64 LSB max / 2 LSB mean (f32 GEMM reassociation makes bit-exact PCM
      impossible; 64 LSB = 2e-3 full scale)
-  7. bf16 serving quality vs the f32 reference binary: frame-0 latents and
+  7. checkpoint-format matrix: --verify + flow-test repeated on
+     {prefixed-names} x {F32, BF16} checkpoints -- real checkpoints store
+     'flow_lm.'/'mimi.'-prefixed names and BF16 tensors, so both
+     implementations' fallback/conversion paths run on identical bytes
+  8. bf16 serving quality vs the f32 reference binary: frame-0 latents and
      cond vector rel-RMS <= 5% (later frames compound chaotically through
      RANDOM-weight AR dynamics, so only the single-forward error is gated)
 
@@ -66,8 +70,10 @@ def build_reference(ref_dir: str, workdir: str) -> str:
     return binary
 
 
-def make_model(workdir: str, seed: int = 0) -> str:
-    model = os.path.join(workdir, "model")
+def make_model(workdir: str, seed: int = 0, prefixed: bool = False,
+               bf16: bool = False) -> str:
+    tag = f"model_{'prefixed' if prefixed else 'exact'}_{'bf16' if bf16 else 'f32'}"
+    model = os.path.join(workdir, tag)
     if os.path.isfile(os.path.join(model, "tts_b6369a24.safetensors")):
         return model
     from helpers import write_model_dir
@@ -78,7 +84,7 @@ def make_model(workdir: str, seed: int = 0) -> str:
     fw = flowlm.random_weights(fcfg, seed=seed, scale=0.05)
     mw = mimi.random_weights(mcfg, seed=seed + 1, scale=0.05)
     write_model_dir(model, fw=fw, mw=mw, flowlm_cfg=fcfg, mimi_cfg=mcfg,
-                    voice_frames=5, seed=seed)
+                    voice_frames=5, seed=seed, prefixed=prefixed, bf16=bf16)
     return model
 
 
@@ -115,14 +121,19 @@ def diff(name: str, a_path: str, b_path: str, tol: float,
     d = np.abs(a - b)
     if per_frame:
         df = d.reshape(-1, 32).max(axis=1)
-        ok = df[0] <= tol / 10 and d.max() <= 2 * tol
+        # Per-frame envelope from the documented compounding model: frame f
+        # may drift up to (tol/10) * 1.7^f, floored at the flat 2*tol gate
+        # for early frames. Frame0 stays at the strict single-forward bound.
+        env = np.maximum((tol / 10) * 1.7 ** np.arange(df.size), 2 * tol)
+        ok = df[0] <= tol / 10 and bool(np.all(df <= env))
         status = "ok  " if ok else "FAIL"
         log(f"{status} {name}: frame0={df[0]:.3e} max={d.max():.3e} "
-            f"(n={a.size}, tol f0<={tol/10:g} all<={2*tol:g})")
+            f"(n={a.size}, tol f0<={tol/10:g}, envelope 1.7^f floor {2*tol:g})")
         if not ok:
+            worst = int(np.argmax(df / env))
             failures.append(
-                f"{name}: frame0 {df[0]:.3e} / max {d.max():.3e} "
-                f"exceeds ({tol/10:g}, {2*tol:g})")
+                f"{name}: frame0 {df[0]:.3e} (tol {tol/10:g}) / frame{worst} "
+                f"{df[worst]:.3e} exceeds envelope {env[worst]:.3e}")
         return float(d.max())
     status = "ok  " if d.max() <= tol else "FAIL"
     log(f"{status} {name}: max={d.max():.3e} rms={np.sqrt((d*d).mean()):.3e} "
@@ -150,6 +161,13 @@ def main() -> int:
     if shutil.which("gcc") is None and shutil.which("cc") is None:
         print("SKIP: no C compiler", file=sys.stderr)
         return 77
+
+    # f32 gates need true-f32 matmuls: on TPU the default matmul precision
+    # uses bf16 passes (~1e-2 rel error), which would drown the 1e-3 gates.
+    # `make parity` additionally pins JAX_PLATFORMS=cpu.
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     os.makedirs(args.workdir, exist_ok=True)
     log("building reference binary (make cpu)...")
@@ -244,7 +262,32 @@ def main() -> int:
         if not ok:
             failures.append(f"WAV int16 diff max={d.max()} mean={d.mean():.3f}")
 
-    # 7. bf16 serving quality vs the f32 reference binary (single-forward
+    # 7. Checkpoint-format matrix: real checkpoints store PREFIXED names
+    #    ('flow_lm.'/'mimi.', ptts_flowlm.c:107-122, ptts_mimi.c:77-95) and
+    #    BF16 tensors (ptts_safetensors.c:325-330). Re-run --verify +
+    #    flow-test on {prefixed} x {F32, BF16} checkpoints so BOTH
+    #    implementations exercise their fallback/conversion paths on the
+    #    same bytes. (exact+F32 is the battery above.)
+    for prefixed, bf16 in ((True, False), (False, True), (True, True)):
+        vtag = f"{'pfx' if prefixed else 'exact'}_{'bf16' if bf16 else 'f32'}"
+        log(f"checkpoint-format variant {vtag}: generating...")
+        vmodel = make_model(args.workdir, prefixed=prefixed, bf16=bf16)
+        r = subprocess.run([binary, "-d", vmodel, "--verify"],
+                           capture_output=True, timeout=600)
+        log(f"{'ok  ' if r.returncode == 0 else 'FAIL'} [{vtag}] reference "
+            f"--verify (rc={r.returncode})")
+        if r.returncode != 0:
+            failures.append(
+                f"[{vtag}] reference --verify: {r.stderr.decode()[-400:]}")
+        base = ["--flow-test", "-t", "0.7", "--eos-threshold", "1e9"]
+        run_ref(binary, vmodel, vtag, base + tap_paths(vtag, "ref"))
+        run_ours(vmodel, base + tap_paths(vtag, "ours"))
+        for k in ("lat", "cond", "flow"):
+            diff(f"{vtag} {k}", f"{tmp}/ref_{vtag}_{k}.f32",
+                 f"{tmp}/ours_{vtag}_{k}.f32", args.tolerance, failures,
+                 per_frame=(k == "lat"))
+
+    # 8. bf16 serving quality vs the f32 reference binary (single-forward
     #    error only; AR frames compound chaotically on random weights)
     if not args.skip_bf16:
         os.environ["PTTS_DTYPE"] = "bf16"
