@@ -539,4 +539,55 @@ void ptts_bf16_to_f32(const uint16_t* in, float* out, int64_t n) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Frame noise: xorshift64* + Box-Muller, bit-compatible with the reference
+// sampler (ptts_flowlm.c:1013-1025, 1211-1231). Hot on the serving host path
+// (one [frames, latent] draw per admitted request); the Python fallback in
+// rng.py is a few hundred times slower.
+// ---------------------------------------------------------------------------
+
+static uint32_t noise_next_u32(uint64_t* state) {
+  uint64_t x = *state;
+  x ^= x >> 12;
+  x ^= x << 25;
+  x ^= x >> 27;
+  *state = x;
+  return (uint32_t)((x * 2685821657736338717ULL) >> 32);
+}
+
+static float noise_next_f01(uint64_t* state) {
+  uint32_t u = noise_next_u32(state);
+  return ((float)u + 1.0f) / 4294967296.0f;
+}
+
+void ptts_frame_noise(int64_t seed, int frames, int latent_dim, float temp,
+                      float noise_clamp, float* out) {
+  const int64_t total = (int64_t)frames * latent_dim;
+  for (int64_t i = 0; i < total; i++) out[i] = 0.f;
+  if (temp <= 0.f) return;  // RNG never advances (reference semantics)
+  const float std_ = sqrtf(temp);
+  uint64_t rng;
+  memcpy(&rng, &seed, 8);  // reinterpret int64 bits as uint64
+  for (int f = 0; f < frames; f++) {
+    float* row = out + (int64_t)f * latent_dim;
+    for (int d = 0; d < latent_dim; d += 2) {
+      float u1 = noise_next_f01(&rng);
+      float u2 = noise_next_f01(&rng);
+      float r = sqrtf(-2.0f * logf(u1));
+      // (float)M_PI -- spelled out; -std=c++17 hides M_PI
+      float theta = 2.0f * (float)3.14159265358979323846 * u2;
+      float z0 = r * cosf(theta) * std_;
+      float z1 = r * sinf(theta) * std_;
+      if (noise_clamp > 0.f) {
+        if (z0 < -noise_clamp) z0 = -noise_clamp;
+        if (z0 > noise_clamp) z0 = noise_clamp;
+        if (z1 < -noise_clamp) z1 = -noise_clamp;
+        if (z1 > noise_clamp) z1 = noise_clamp;
+      }
+      row[d] = z0;
+      if (d + 1 < latent_dim) row[d + 1] = z1;
+    }
+  }
+}
+
 }  // extern "C"

@@ -99,6 +99,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
         ]
+        lib.ptts_frame_noise.argtypes = [
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return _lib
 
@@ -196,3 +200,18 @@ def f16_to_f32(bits: np.ndarray) -> Optional[np.ndarray]:
         b.size,
     )
     return out.reshape(bits.shape)
+
+
+def frame_noise(seed: int, frames: int, latent_dim: int, temp: float,
+                noise_clamp: float) -> Optional[np.ndarray]:
+    """[frames, latent_dim] reference-compatible noise (ptts_frame_noise)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((frames, latent_dim), np.float32)
+    lib.ptts_frame_noise(
+        ctypes.c_int64(np.array(seed, np.int64).item()),
+        frames, latent_dim, ctypes.c_float(temp), ctypes.c_float(noise_clamp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out

@@ -66,7 +66,20 @@ def frame_noise(
     The reference draws latent_dim/2 Box-Muller pairs per frame, threading one
     RNG state across frames (ptts_flowlm.c:1187-1231). When temp <= 0 the RNG
     is never advanced and the noise is all zeros.
+
+    Dispatches to the C++ implementation (csrc/ptts_host.cpp
+    ptts_frame_noise) when available -- this runs once per admitted request
+    on the serving host path and the Python pair loop is ~100x slower.
+    Within one process every caller sees the same implementation, so
+    batcher-vs-offline equality is unaffected (numpy/libm differ from glibc
+    by <=1 ulp in the transcendentals, inside every parity gate).
     """
+    from . import native
+
+    out = native.frame_noise(seed, frames, latent_dim, float(temp),
+                             float(noise_clamp))
+    if out is not None:
+        return out
     noise = np.zeros((frames, latent_dim), dtype=np.float32)
     if temp <= 0.0:
         return noise

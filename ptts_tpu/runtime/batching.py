@@ -69,7 +69,7 @@ class Result:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg",),
+    jax.jit, static_argnames=("cfg", "flags"),
     # only the big buffers are donated: the [B1]-scalar state (done,
     # eos_step, frame_idx) and x_all stay un-donated because the in-flight
     # pipelined frame (ContinuousBatcher._pending) still references them
@@ -90,6 +90,7 @@ def admit_slots(
     lengths: jnp.ndarray,       # [n]
     te_rows: jnp.ndarray,       # [n, S_max, flow_dim] new slots' tables
     cfg: FlowLMConfig,
+    flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
 ):
     """Prefill n new prompts and scatter their state into the pool rows.
 
@@ -97,7 +98,7 @@ def admit_slots(
     at the current shared cursor (cache.start[slot] = cache.cursor).
     """
     n, T0, d = prefix.shape
-    k_new, v_new, last = flowlm.prefill_kv(w, prefix, lengths, cfg)
+    k_new, v_new, last = flowlm.prefill_kv(w, prefix, lengths, cfg, flags=flags)
 
     k = cache.k.at[:, slot_ids, :T0].set(k_new.astype(cache.k.dtype))
     v = cache.v.at[:, slot_ids, :T0].set(v_new.astype(cache.v.dtype))
@@ -208,6 +209,9 @@ class ContinuousBatcher:
         self.chunks: Dict[int, List[np.ndarray]] = {}
         self.finished: Dict[int, Result] = {}
         self._next_rid = 0
+        import threading
+
+        self._rid_lock = threading.Lock()  # prepare() runs on handler threads
         self._eos_after = np.zeros(self.B1, np.int32)
         self._max_frames = np.full(self.B1, 1, np.int32)
         self._num_steps = np.ones(self.B1, np.int32)
@@ -232,8 +236,16 @@ class ContinuousBatcher:
 
     # -- submission ----------------------------------------------------------
 
-    def submit(self, text: str, voice: Optional[str] = None,
-               params: Optional[api.Params] = None) -> int:
+    def prepare(self, text: str, voice: Optional[str] = None,
+                params: Optional[api.Params] = None) -> Request:
+        """Tokenize + assemble a Request WITHOUT touching the serving queue.
+
+        All the host-heavy work (text prep, tokenization, prefix embedding,
+        noise draw) happens here, so HTTP handler threads can run it outside
+        the serving lock (runtime/server.py); only enqueue() needs the lock.
+        The rid is taken under a dedicated counter lock (noise is seeded
+        seed + rid, matching the offline engine's per-stream streams).
+        """
         p = (params or api.Params()).normalized()
         if p.num_steps > self.max_num_steps:
             raise api.PttsError(
@@ -251,24 +263,31 @@ class ContinuousBatcher:
             )
         max_frames = p.num_frames if p.num_frames > 0 else estimate_frames(wc)
         seed = p.seed if p.seed != -1 else int(time.time())
-        rid = self._next_rid
-        self._next_rid += 1
-        self.queue.append(
-            Request(
-                rid=rid,
-                prefix=prefix,
-                noise=frame_noise(seed + rid, max_frames, self.cfg.latent_dim,
-                                  temp=p.temp, noise_clamp=p.noise_clamp),
-                max_frames=max_frames,
-                eos_after=p.eos_after if p.eos_after > 0 else eos_after_guess,
-                num_steps=p.num_steps,
-                eos_threshold=(p.eos_threshold if p.eos_enabled
-                               else np.float32(1e30)),
-                eos_min_frames=p.eos_min_frames,
-            )
+        with self._rid_lock:
+            rid = self._next_rid
+            self._next_rid += 1
+        return Request(
+            rid=rid,
+            prefix=prefix,
+            noise=frame_noise(seed + rid, max_frames, self.cfg.latent_dim,
+                              temp=p.temp, noise_clamp=p.noise_clamp),
+            max_frames=max_frames,
+            eos_after=p.eos_after if p.eos_after > 0 else eos_after_guess,
+            num_steps=p.num_steps,
+            eos_threshold=(p.eos_threshold if p.eos_enabled
+                           else np.float32(1e30)),
+            eos_min_frames=p.eos_min_frames,
         )
-        self.chunks[rid] = []
-        return rid
+
+    def enqueue(self, req: Request) -> int:
+        """Queue a prepared Request for admission (cheap; lock-holding ok)."""
+        self.queue.append(req)
+        self.chunks[req.rid] = []
+        return req.rid
+
+    def submit(self, text: str, voice: Optional[str] = None,
+               params: Optional[api.Params] = None) -> int:
+        return self.enqueue(self.prepare(text, voice=voice, params=params))
 
     def _te_row(self, num_steps: int) -> np.ndarray:
         """[S_max, flow_dim] Euler table for num_steps, zero-padded."""
@@ -324,6 +343,7 @@ class ContinuousBatcher:
                 self.frame_idx, self.mimi_state, self.time_embs,
                 jnp.asarray(slot_ids), jnp.asarray(prefix, self.engine.dtype),
                 jnp.asarray(lengths), jnp.asarray(te_rows), self.cfg,
+                flags=self.engine.flags,
             )
 
     def _gather_noise(self) -> np.ndarray:
@@ -371,7 +391,7 @@ class ContinuousBatcher:
             self.cfg, engine.mimi_cfg, True,
             jnp.asarray(self._eos_threshold), jnp.asarray(self._eos_min_frames),
             jnp.asarray(self._eos_after), jnp.asarray(self._max_frames),
-            jnp.asarray(self._num_steps),
+            jnp.asarray(self._num_steps), flags=engine.flags,
         )
         self.frame_idx = self.frame_idx + 1
         try:  # overlap the transfer with the next frame's device work

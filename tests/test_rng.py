@@ -115,3 +115,40 @@ def test_known_sequence_stability():
         state = step(state)
         expected.append(((state * 2685821657736338717) & 0xFFFFFFFFFFFFFFFF) >> 32)
     assert seq == expected
+
+
+def test_native_frame_noise_matches_python():
+    """C++ ptts_frame_noise == the Python xorshift/Box-Muller path.
+
+    glibc vs numpy libm can differ by ~1 ulp in log/cos/sin, so the gate is
+    tiny-but-nonzero; draw order and clamping must agree exactly.
+    """
+    import pytest
+
+    from ptts_tpu import native
+    from ptts_tpu.rng import Xorshift64Star, gaussian_pairs
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    import numpy as np
+
+    for seed, frames, dim, temp, clamp in [
+        (123, 7, 32, 0.7, 0.0),
+        (-5, 4, 32, 1.0, 1.5),
+        (999, 3, 8, 0.25, 0.0),
+        (1, 2, 32, 0.0, 0.0),   # temp<=0: zeros, RNG untouched
+    ]:
+        nat = native.frame_noise(seed, frames, dim, temp, clamp)
+        assert nat is not None and nat.shape == (frames, dim)
+        # python reference path (bypass the dispatcher)
+        py = np.zeros((frames, dim), np.float32)
+        if temp > 0:
+            std = np.float32(np.sqrt(np.float32(temp)))
+            r = Xorshift64Star(seed)
+            for f in range(frames):
+                z = gaussian_pairs(r, (dim + 1) // 2, std)[:dim]
+                if clamp > 0:
+                    z = np.clip(z, -np.float32(clamp), np.float32(clamp))
+                py[f] = z
+        np.testing.assert_allclose(nat, py, atol=2e-6, rtol=2e-6)
