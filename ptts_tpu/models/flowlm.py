@@ -681,8 +681,11 @@ def lsd_decode_ragged(
     (rows >= n_b of its time-embed table are ignored); every stream pays
     S_max flow_net evaluations, extra steps are masked no-ops.
 
-    Bit-equal to lsd_decode for a stream whose table row equals
-    lsd_time_embeds(n_b) padded to S_max (same divisions, same order)."""
+    Matches lsd_decode for a stream whose table row equals
+    lsd_time_embeds(n_b) padded to S_max: same flow evaluations in the same
+    order; equality is to 1 ulp (bitwise for power-of-two n_b -- XLA folds
+    the /n_b by-constant differently than by-array for other n). Pinned by
+    tests/test_flowlm.py::test_lsd_decode_ragged_matches_lsd_decode."""
     fw = w["flow"]
     cond_emb = _linear(fw["cond_w"], fw["cond_b"], cond)
     S = time_embs.shape[1]

@@ -63,13 +63,25 @@ def _is_pallas_failure(exc: BaseException) -> bool:
     """True iff the exception plausibly comes from Pallas/Mosaic kernel
     compilation or launch (the only failures the engine's XLA-fallback should
     absorb). Anything else -- OOM, shape errors, bad prompts -- must propagate
-    unchanged."""
+    unchanged.
+
+    Matching is type-first: an exception TYPE defined in a pallas/mosaic
+    module is definitive. Message matching is the fallback (Mosaic errors
+    surface as plain XlaRuntimeError), restricted to compiler-emitted
+    markers ('Mosaic', 'pallas_call', 'Internal TPU kernel compiler error')
+    rather than any substring -- a traceback message merely *containing* a
+    pallas file path no longer demotes the engine."""
     seen = set()
     e: Optional[BaseException] = exc
     while e is not None and id(e) not in seen:
         seen.add(id(e))
-        text = f"{type(e).__module__}.{type(e).__name__}: {e}"
-        if any(s in text for s in ("Mosaic", "mosaic", "Pallas", "pallas")):
+        mod = f"{type(e).__module__}.{type(e).__name__}".lower()
+        if "pallas" in mod or "mosaic" in mod:
+            return True
+        text = str(e)
+        if any(s in text for s in ("Mosaic", "pallas_call",
+                                   "Internal TPU kernel compiler error",
+                                   "Only interpret mode is supported")):
             return True
         e = e.__cause__ or e.__context__
     return False
@@ -269,15 +281,24 @@ class TTSEngine:
                 raise
             import warnings
 
+            # only demote the impl(s) actually running Pallas -- a failing
+            # window kernel must not cost the conv kernel's speedup (or
+            # vice versa)
+            demoted = []
+            if self.window_impl == "pallas":
+                self.window_impl = "local"
+                demoted.append("window->local")
+            if self.conv_impl == "pallas":
+                self.conv_impl = "xla"
+                demoted.append("conv->xla")
             warnings.warn(
                 f"[ptts] Pallas Mimi kernel failed ({type(e).__name__}: {e});"
-                " permanently degrading this engine to the XLA decode path"
+                f" permanently degrading: {', '.join(demoted)}"
             )
-            self.window_impl = "local"
-            self.conv_impl = "xla"
             return np.asarray(
                 mimi.decode(self.mw, scaled_latents, self.mimi_cfg,
-                            window_impl="local", conv_impl="xla")
+                            window_impl=self.window_impl,
+                            conv_impl=self.conv_impl)
             )
 
     def generate_full(self, text: str, voice: Optional[str] = None,

@@ -31,6 +31,7 @@ import io
 import json
 import struct
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -62,7 +63,19 @@ def wav_bytes(audio: Audio) -> bytes:
 
 
 class TTSService:
-    """Owns the batcher; one background thread drives the serving loop."""
+    """Owns the batcher; one background thread drives the serving loop.
+
+    Lock discipline: HTTP handler threads do ALL host-heavy request prep
+    (tokenize, prefix embed, noise draw) in ``batcher.prepare`` outside the
+    condition lock; only the cheap enqueue and the result hand-off hold it.
+    The serving thread runs ``batcher.step()`` (device dispatch + readback)
+    OUTSIDE the lock too -- the deque/chunks handshake with enqueue is
+    GIL-atomic -- so a submit never stalls behind an in-flight ~80 ms frame.
+    """
+
+    #: seconds an unclaimed result lives before being dropped (a waiter that
+    #: timed out never pops its entry; without expiry those leak).
+    result_ttl: float = 600.0
 
     def __init__(self, ctx: "api.Context", slots: int = 16,
                  max_len: int = 768, prefix_budget: int = 128,
@@ -73,7 +86,7 @@ class TTSService:
             prefix_budget=prefix_budget, max_num_steps=max_num_steps,
         )
         self._cv = threading.Condition()
-        self._results = {}
+        self._results = {}           # rid -> (Audio, publish_time)
         self._errors = {}
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -83,8 +96,10 @@ class TTSService:
 
     def submit(self, text: str, voice: Optional[str] = None,
                params: Optional["api.Params"] = None) -> int:
+        # tokenization / prefix assembly / noise draw: outside the lock
+        req = self.batcher.prepare(text, voice=voice, params=params)
         with self._cv:
-            rid = self.batcher.submit(text, voice=voice, params=params)
+            rid = self.batcher.enqueue(req)
             self._cv.notify_all()
         return rid
 
@@ -98,7 +113,7 @@ class TTSService:
                 raise TimeoutError(f"request {rid} timed out")
             if rid in self._errors:
                 raise self._errors.pop(rid)
-            return self._results.pop(rid)
+            return self._results.pop(rid)[0]
 
     def generate(self, text: str, voice: Optional[str] = None,
                  params: Optional["api.Params"] = None,
@@ -113,6 +128,27 @@ class TTSService:
 
     # -- serving loop ---------------------------------------------------------
 
+    def _on_step_error(self, e: Exception) -> None:
+        """Surface a failed step to every waiter and release batcher state:
+        queued + in-flight requests error out, their chunk buffers are
+        dropped, and their slots' host mirrors are marked done so the
+        device retires them instead of generating to max_frames."""
+        b = self.batcher
+        with self._cv:
+            for req in list(b.queue):
+                self._errors[req.rid] = e
+                b.chunks.pop(req.rid, None)
+            b.queue.clear()
+            for slot, req in enumerate(b.slot_req):
+                if req is not None:
+                    self._errors[req.rid] = e
+                    b.chunks.pop(req.rid, None)
+                    b.slot_req[slot] = None
+                    b._noise[slot] = None
+                    b._done_np[slot] = True
+                    b._max_frames[slot] = 0
+            self._cv.notify_all()
+
     def _loop(self) -> None:
         b = self.batcher
         sr = api.Params().sample_rate
@@ -124,25 +160,27 @@ class TTSService:
                 )
                 if self._stop:
                     return
-                try:
-                    b.step()
-                except Exception as e:  # surface to every waiter
-                    for req in list(b.queue):
-                        self._errors[req.rid] = e
-                    b.queue.clear()
-                    for slot, req in enumerate(b.slot_req):
-                        if req is not None:
-                            self._errors[req.rid] = e
-                            b.slot_req[slot] = None
-                    self._cv.notify_all()
-                    continue
-                if b.finished:
+            # device dispatch + readback run OUTSIDE the lock: enqueue only
+            # appends to b.queue / b.chunks (GIL-atomic vs _admit's popleft),
+            # and this thread is the batcher's only owner otherwise
+            try:
+                b.step()
+            except Exception as e:  # surface to every waiter
+                self._on_step_error(e)
+                continue
+            if b.finished:
+                now = time.monotonic()
+                with self._cv:
                     for rid, res in list(b.finished.items()):
                         del b.finished[rid]
-                        self._results[rid] = Audio(
+                        self._results[rid] = (Audio(
                             sample_rate=sr, channels=1,
                             samples=np.asarray(res.audio, np.float32),
-                        )
+                        ), now)
+                    # expire unclaimed results (timed-out waiters never pop)
+                    for rid, (_, ts) in list(self._results.items()):
+                        if now - ts > self.result_ttl:
+                            del self._results[rid]
                     self._cv.notify_all()
 
 
@@ -184,7 +222,11 @@ def make_handler(service: TTSService):
                     params=api.Params(**pkw), timeout=300,
                 )
                 self._send(200, wav_bytes(audio), "audio/wav")
-            except (KeyError, json.JSONDecodeError) as e:
+            except (KeyError, json.JSONDecodeError, TypeError) as e:
+                self._send(400, f"bad request: {e}".encode(), "text/plain")
+            except api.PttsError as e:
+                # user-input errors (over-budget prompt, bad params) are the
+                # client's fault, not a server failure
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
             except Exception as e:
                 self._send(500, f"error: {e}".encode(), "text/plain")
@@ -208,11 +250,25 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--max-len", type=int, default=768)
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the startup precompile request")
     args = ap.parse_args()
 
     ctx = api.load_dir(args.model_dir)
     httpd = serve(ctx, host=args.host, port=args.port, slots=args.slots,
                   max_len=args.max_len)
+    if not args.no_warmup:
+        # pay the serving-path XLA compiles before accepting traffic (the
+        # persistent compile cache makes this near-instant after the first
+        # launch on a machine)
+        import time as _t
+
+        t0 = _t.perf_counter()
+        httpd.tts_service.generate(
+            "Warm up.", params=api.Params(num_frames=2, num_steps=1, seed=0),
+            timeout=1800,
+        )
+        print(f"[ptts] warmup done in {_t.perf_counter() - t0:.1f}s")
     print(f"[ptts] serving on http://{args.host}:{args.port} "
           f"({args.slots} slots)")
     try:

@@ -140,7 +140,7 @@ def test_engine_pallas_fallback(ctx, monkeypatch):
     from ptts_tpu.ops.pallas import fused_attention
 
     def boom(*a, **k):
-        raise RuntimeError("mosaic unavailable")
+        raise RuntimeError("Mosaic failed to compile kernel")
 
     monkeypatch.setattr(fused_attention, "causal_attention_qkv", boom)
     engine = ctx.engine
@@ -164,12 +164,19 @@ def test_engine_non_pallas_error_propagates(ctx, monkeypatch):
     from ptts_tpu.runtime.engine import _is_pallas_failure
 
     assert _is_pallas_failure(RuntimeError("Mosaic failed to compile"))
-    assert _is_pallas_failure(ValueError("pallas lowering error"))
+    assert _is_pallas_failure(ValueError("error in pallas_call lowering"))
+    # the real CPU-backend failure mode (pallas_call without interpret)
+    assert _is_pallas_failure(
+        ValueError("Only interpret mode is supported on CPU backend."))
     assert not _is_pallas_failure(ValueError("bad prompt shape"))
+    # a message that merely CONTAINS a pallas file path must not demote
+    # (round-2 VERDICT: substring matching was too broad)
+    assert not _is_pallas_failure(
+        ValueError("shape mismatch at ops/pallas/seanet.py:42"))
     # cause chains are walked
     try:
         try:
-            raise RuntimeError("mosaic internal")
+            raise RuntimeError("Mosaic internal error")
         except RuntimeError as inner:
             raise ValueError("wrapped") from inner
     except ValueError as outer:

@@ -303,3 +303,43 @@ def test_forward_next_matches_cached_generation(weights, dweights):
         jnp.asarray(noise[1])[None], CFG, 1,
     )
     assert_close(lat1[0], res.latents[0, 1], atol=5e-5, rtol=5e-5)
+
+
+def test_lsd_decode_ragged_matches_lsd_decode():
+    """Direct pin of the lsd_decode_ragged docstring claim: a stream whose
+    per-stream table row equals lsd_time_embeds(n_b) padded to S_max
+    integrates equal to lsd_decode with n_b steps -- bitwise for
+    power-of-two n_b, 1 ulp otherwise (XLA folds /n-by-constant differently
+    than /n-by-array), for every n_b <= S_max."""
+    import jax.numpy as jnp
+
+    cfg = TINY_FLOWLM
+    w = flowlm.to_device(flowlm.random_weights(cfg, seed=11, scale=0.3),
+                         jnp.float32, cfg)
+    rng = np.random.default_rng(4)
+    S_max = 4
+    B = S_max  # stream b uses n_b = b + 1 Euler steps
+    cond = jnp.asarray(rng.standard_normal((B, cfg.d_model)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((B, cfg.latent_dim)), jnp.float32)
+
+    tables = np.zeros((B, S_max, cfg.flow_dim), np.float32)
+    num_steps = np.arange(1, S_max + 1, dtype=np.int32)
+    for b, n in enumerate(num_steps):
+        tables[b, :n] = np.asarray(flowlm.lsd_time_embeds(w, int(n), cfg))
+
+    lat_r, ff_r = flowlm.lsd_decode_ragged(
+        w, cond, jnp.asarray(tables), jnp.asarray(num_steps), noise, cfg)
+
+    # compare at the SAME batch shape (a [1]-row run compiles different GEMM
+    # shapes -> ~1-ulp fusion differences; the claim is about the masked
+    # integration math): run lsd_decode for the whole pool at each n and
+    # check the row whose ragged step count is n.
+    for b, n in enumerate(num_steps):
+        te = flowlm.lsd_time_embeds(w, int(n), cfg)
+        lat, ff = flowlm.lsd_decode(w, cond, te, noise, cfg)
+        np.testing.assert_allclose(
+            np.asarray(lat_r[b]), np.asarray(lat[b]), rtol=3e-7, atol=1e-6,
+            err_msg=f"ragged latent != lsd_decode at n={n}")
+        np.testing.assert_array_equal(
+            np.asarray(ff_r[b]), np.asarray(ff[b]),
+            err_msg=f"ragged first_flow != lsd_decode at n={n}")
