@@ -18,9 +18,10 @@ ptts_tpu/native/libptts_host.so: csrc/ptts_host.cpp
 test:
 	$(PY) -m pytest tests/ -x -q
 
-# Faster local loop without the TPU-tunnel dial at interpreter start
+# Faster local loop without the TPU-tunnel dial at interpreter start and
+# without the multi-second equality/serving tests (marked @pytest.mark.slow)
 test-fast:
-	$(TEST_ENV) $(PY) -m pytest tests/ -x -q
+	$(TEST_ENV) $(PY) -m pytest tests/ -x -q -m "not slow"
 
 # Serving throughput on the real chip: prints one JSON line
 bench:

@@ -34,3 +34,10 @@ assert jax.default_backend() == "cpu", (
     "tests must run on the CPU backend; got " + jax.default_backend()
 )
 assert len(jax.devices()) >= 8, "virtual 8-device CPU mesh unavailable"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-second equality/serving tests (deselect with -m 'not slow')",
+    )

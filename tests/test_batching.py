@@ -19,6 +19,7 @@ def _offline(ctx, text, params):
     return ctx.engine.generate(text, params=params)
 
 
+@pytest.mark.slow
 def test_single_request_matches_offline(ctx):
     p = api.Params(num_frames=4, num_steps=1, seed=5, temp=0.5, eos_enabled=False)
     batcher = ContinuousBatcher(ctx.engine, slots=4, max_len=96, admit_chunk=2, prefix_budget=32)
@@ -33,6 +34,7 @@ def test_single_request_matches_offline(ctx):
     assert_close(got.audio, want.samples, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_staggered_admission_matches_offline(ctx):
     """More requests than slots; late admissions into freed rows must not
     perturb in-flight streams and must match their own offline runs."""
@@ -65,6 +67,7 @@ def test_eos_frees_slots(ctx):
     assert results[r1].frames == 3
 
 
+@pytest.mark.slow
 def test_compaction_reclaims_finished_slots(ctx):
     """A stream that finished early must not pin the cursor: its dead decode
     span (start stays fixed while the shared cursor advances with live
@@ -115,6 +118,7 @@ def test_cache_compaction(ctx):
                      msg=text)
 
 
+@pytest.mark.slow
 def test_heterogeneous_params_match_offline(ctx):
     """Per-REQUEST Params in one pool (ptts.h:27-40 semantics): different
     num_steps, eos settings, and temps served concurrently must each match
@@ -153,6 +157,7 @@ def test_num_steps_above_pool_cap_rejected(ctx):
         batcher.submit("hello", params=api.Params(num_frames=2, num_steps=3))
 
 
+@pytest.mark.slow
 def test_pipelined_equals_serial_batcher(ctx):
     """Double-buffered step loop (dispatch N+1 before collecting N) must
     produce identical results to the serial loop, including staggered

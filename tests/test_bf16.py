@@ -16,6 +16,7 @@ CFG = TINY_FLOWLM
 MCFG = TINY_MIMI
 
 
+@pytest.mark.slow
 def test_flowlm_bf16_close_to_f32():
     w = flowlm.random_weights(CFG, seed=1, scale=0.3)
     rng = np.random.default_rng(0)

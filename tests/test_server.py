@@ -60,6 +60,7 @@ def test_healthz_and_stats(httpd):
     conn.close()
 
 
+@pytest.mark.slow
 def test_tts_matches_offline(httpd):
     p = {"text": "hello world", "num_frames": 4, "num_steps": 1, "seed": 5,
          "temp": 0.5, "eos_enabled": False}

@@ -36,6 +36,7 @@ def test_mesh_setup(mesh):
     assert pmesh.pad_batch_to_mesh(13, mesh) == 16
 
 
+@pytest.mark.slow
 def test_sharded_generation_matches_unsharded(mesh, weights):
     B = 16  # 2 streams per device
     T0, FRAMES = 4, 3

@@ -15,6 +15,7 @@ def ctx(tmp_path_factory):
     return api.Context(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
 
 
+@pytest.mark.slow
 def test_streaming_matches_offline(ctx):
     p = api.Params(num_frames=5, num_steps=1, seed=9, temp=0.6, eos_enabled=False)
     texts = ["hello world", "how low"]
