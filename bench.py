@@ -176,6 +176,125 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
     }
 
 
+def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
+                      max_seconds: float = 120.0, verbose: bool = True):
+    """Sustained continuous-batching throughput on the chip.
+
+    Drives the production ContinuousBatcher (admission -> fused
+    FlowLM+streaming-Mimi frame step -> per-frame PCM readback -> slot
+    reuse) closed-loop-saturated with ragged-length requests (10..50
+    frames) until ``target_finished`` requests complete. This is the
+    serving number the offline lockstep bench can't show: ragged EOS frees
+    slots mid-flight and the batcher re-admits into them, instead of dead
+    slots riding until the slowest stream finishes.
+
+    Returns (streams, first_chunk_p50_ms, finished, wall).
+    """
+    import types
+
+    import jax.numpy as jnp
+
+    from ptts_tpu.config import FlowLMConfig, KernelFlags, MimiConfig
+    from ptts_tpu.models import flowlm, mimi
+    from ptts_tpu.runtime.batching import ContinuousBatcher, Request
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    cfg, mcfg = FlowLMConfig(), MimiConfig()
+    fw = flowlm.to_device(flowlm.random_weights(cfg, seed=0), dtype, cfg)
+    mw = mimi.to_device(mimi.random_weights(mcfg, seed=1), dtype, mcfg)
+    # minimal engine surface the batcher touches (prepare() is bypassed --
+    # requests are enqueued directly, so no tokenizer/ctx is needed)
+    eng = types.SimpleNamespace(flowlm_cfg=cfg, mimi_cfg=mcfg, dtype=dtype,
+                                fw=fw, mw=mw, flags=KernelFlags())
+
+    T0 = 64
+    b = ContinuousBatcher(eng, slots=slots, max_len=256, admit_chunk=16,
+                          prefix_budget=T0, max_num_steps=1)
+    rng = np.random.default_rng(0)
+    admit_t = {}          # rid -> time the batcher placed it in a slot
+    first_chunk_ms = []   # admission -> first 80 ms chunk read back
+    pending_first = set()
+
+    def make_req():
+        frames = int(rng.integers(10, 51))
+        prefix = (rng.standard_normal((T0, cfg.d_model)) * 0.02).astype(np.float32)
+        noise = (rng.standard_normal((frames, cfg.latent_dim)) * 0.8).astype(np.float32)
+        req = Request(rid=-1, prefix=prefix, noise=noise, max_frames=frames,
+                      eos_after=0, num_steps=1,
+                      eos_threshold=np.float32(1e30), eos_min_frames=1)
+        with b._rid_lock:
+            req.rid = b._next_rid
+            b._next_rid += 1
+        return req
+
+    def top_up():
+        # closed-loop saturation: keep the admission queue non-empty so a
+        # freed slot is always refilled on the next step
+        while len(b.queue) < b.admit_chunk * 2:
+            req = make_req()
+            b.enqueue(req)
+            pending_first.add(req.rid)
+
+    def note_admissions():
+        now = time.perf_counter()
+        for req in b.slot_req:
+            if req is not None and req.rid not in admit_t:
+                admit_t[req.rid] = now
+
+    def note_first_chunks():
+        # admission -> first-chunk latency (queue wait under closed-loop
+        # saturation is an artifact of the load generator, so it's excluded)
+        done = []
+        now = time.perf_counter()
+        for rid in pending_first:
+            ch = b.chunks.get(rid)
+            if ch:  # first 80 ms chunk has been read back
+                if rid in admit_t:
+                    first_chunk_ms.append((now - admit_t[rid]) * 1000.0)
+                done.append(rid)
+            elif rid in b.finished or rid not in b.chunks:
+                done.append(rid)
+        pending_first.difference_update(done)
+
+    # warmup: compiles admit_slots + fused_stream_step + compaction path
+    for _ in range(12):
+        top_up()
+        b.step()
+    b.finished.clear()
+    # requests admitted during warmup carry compile time in their first-chunk
+    # clock; exclude them from the latency stats (throughput still counts them)
+    pending_first.clear()
+    first_chunk_ms.clear()
+
+    frames_done = 0
+    finished = 0
+    t0 = time.perf_counter()
+    while finished < target_finished:
+        top_up()
+        b.step()
+        note_admissions()
+        note_first_chunks()
+        if b.finished:
+            for r, res in list(b.finished.items()):
+                frames_done += res.frames
+                finished += 1
+                del b.finished[r]
+        if time.perf_counter() - t0 > max_seconds:
+            break
+    wall = time.perf_counter() - t0
+    streams = frames_done / mcfg.frame_rate / wall
+    p50 = float(np.percentile(first_chunk_ms, 50)) if first_chunk_ms else -1.0
+    if verbose:
+        print(
+            f"[bench] batcher: slots={slots} dtype={dtype_name} "
+            f"finished={finished} frames={frames_done} wall={wall:.1f}s -> "
+            f"{streams:.1f} sustained streams/chip, first-chunk p50 "
+            f"{p50:.0f} ms",
+            file=sys.stderr,
+        )
+    return streams, p50, finished, wall
+
+
 def main() -> int:
     _enable_compile_cache()
     batch = int(os.environ.get("PTTS_BENCH_BATCH", "256"))
@@ -200,6 +319,20 @@ def main() -> int:
         print(json.dumps({"metric": "concurrent_realtime_streams", "value": 0,
                           "unit": "streams/chip", "vs_baseline": 0}))
         return 1
+
+    # Sustained continuous-batching serving (ragged arrivals, slot reuse,
+    # per-frame PCM readback) -- the closest-to-production number.
+    try:
+        bslots = int(os.environ.get("PTTS_BENCH_BATCHER_SLOTS", str(b)))
+        breqs = int(os.environ.get("PTTS_BENCH_BATCHER_REQS", "1200"))
+        streams_b, p50_b, fin_b, wall_b = run_batcher_bench(
+            bslots, dtype, breqs)
+        result["detail"]["sustained_batcher_streams"] = round(streams_b, 2)
+        result["detail"]["batcher_first_chunk_p50_ms"] = round(p50_b, 1)
+        result["detail"]["batcher_finished"] = fin_b
+    except Exception as e:  # never sink the headline metric
+        print(f"[bench] batcher bench failed: {e}", file=sys.stderr)
+
     print(json.dumps(result))
     return 0
 

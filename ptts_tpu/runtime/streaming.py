@@ -82,8 +82,19 @@ def flow_frame_step(
     return cache, x, scaled, eos, eos_step, done
 
 
+def quantize_i16_device(pcm: jnp.ndarray) -> jnp.ndarray:
+    """Reference PCM quantization ON DEVICE: clamp to [-1, 1], *32767,
+    truncate toward zero (ptts_audio.c:82-88; bit-equal to io/wav
+    quantize_i16 of the same f32 values). Emitting int16 from the fused
+    step quarters the per-frame readback bytes -- the client-facing frame
+    cost is readback-bound (PERF.md)."""
+    s = jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0)
+    return jnp.trunc(s * jnp.float32(32767.0)).astype(jnp.int16)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "mcfg", "eos_enabled", "flags"),
+    jax.jit,
+    static_argnames=("cfg", "mcfg", "eos_enabled", "flags", "emit_i16"),
     donate_argnames=("cache", "mimi_state"),
 )
 def fused_stream_step(
@@ -92,7 +103,7 @@ def fused_stream_step(
     cache: flowlm.KVCache,
     mimi_state,
     x: jnp.ndarray,
-    noise: jnp.ndarray,
+    noise: jnp.ndarray,        # [B, latent] row OR [B, F, latent] table
     time_embs: jnp.ndarray,
     frame_idx: jnp.ndarray,
     eos_step: jnp.ndarray,
@@ -106,11 +117,24 @@ def fused_stream_step(
     max_frames: jnp.ndarray | None = None,
     num_steps: jnp.ndarray | None = None,
     flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
+    emit_i16: bool = False,
 ):
     """One serving frame in a single device program: FlowLM frame step +
     streaming-Mimi chunk decode. One dispatch per 80 ms frame (dispatch
-    latency is the streaming-path bottleneck on remote-tunnel setups)."""
+    latency is the streaming-path bottleneck on remote-tunnel setups).
+
+    ``noise`` may be the whole per-stream noise table [B, F, latent]
+    (device-resident, uploaded once at admission/start): the current frame's
+    row is gathered ON DEVICE from ``frame_idx``, so the steady-state step
+    takes no per-frame host uploads at all. ``emit_i16`` returns int16 PCM
+    (quantize_i16_device) -- 4x smaller readback."""
     from ..models import mimi_stream
+
+    if noise.ndim == 3:
+        fi = jnp.broadcast_to(jnp.asarray(frame_idx, jnp.int32),
+                              (noise.shape[0],))
+        fi = jnp.clip(fi, 0, noise.shape[1] - 1)
+        noise = jnp.take_along_axis(noise, fi[:, None, None], axis=1)[:, 0]
 
     cache, x, scaled, eos, eos_step, done = flow_frame_step(
         fw, cache, x, noise, time_embs, frame_idx, eos_step, done,
@@ -120,15 +144,23 @@ def fused_stream_step(
     mimi_state, pcm = mimi_stream.decode_stream(
         mw, mimi_state, scaled[:, None, :], mcfg
     )
+    if emit_i16:
+        pcm = quantize_i16_device(pcm)
     return cache, mimi_state, x, pcm, eos, eos_step, done
 
 
 @dataclasses.dataclass
 class StreamChunk:
-    pcm: np.ndarray          # [B, frame_samples] f32
+    pcm_i16: np.ndarray      # [B, frame_samples] int16 (device-quantized,
+    #                          exact WAV bytes -- ptts_audio.c:82-88)
     frame_index: int
     active: np.ndarray       # [B] bool: stream still producing at this frame
     eos_logits: np.ndarray   # [B]
+
+    @property
+    def pcm(self) -> np.ndarray:
+        """[B, frame_samples] f32 view (i16/32767) for numeric consumers."""
+        return self.pcm_i16.astype(np.float32) / np.float32(32767.0)
 
 
 class StreamingSession:
@@ -169,12 +201,17 @@ class StreamingSession:
             padded[b, : len(p)] = p
 
         seed = params.seed if params.seed != -1 else int(time.time())
-        self._noise = np.stack(
-            [
-                frame_noise(seed + b, max_frames, cfg.latent_dim,
-                            temp=params.temp, noise_clamp=params.noise_clamp)
-                for b in range(B)
-            ]
+        # whole noise table to device ONCE; each frame's row is gathered on
+        # device inside fused_stream_step (no per-frame host upload)
+        self._noise_dev = jnp.asarray(
+            np.stack(
+                [
+                    frame_noise(seed + b, max_frames, cfg.latent_dim,
+                                temp=params.temp, noise_clamp=params.noise_clamp)
+                    for b in range(B)
+                ]
+            ),
+            engine.dtype,
         )
 
         cache = flowlm.make_cache(cfg, B, T0 + max_frames, engine.dtype)
@@ -230,14 +267,15 @@ class StreamingSession:
         """Queue one jitted frame step; start the PCM device->host copy."""
         engine = self.engine
         was_done_dev = self.done
-        noise = jnp.asarray(self._noise[:, self.frame], engine.dtype)
         (self.cache, self.mimi_state, self.x, pcm, eos,
          self.eos_step, self.done) = fused_stream_step(
-            engine.fw, engine.mw, self.cache, self.mimi_state, self.x, noise,
+            engine.fw, engine.mw, self.cache, self.mimi_state, self.x,
+            self._noise_dev,
             self.time_embs, jnp.int32(self.frame), self.eos_step, self.done,
             self.cfg, engine.mimi_cfg, bool(self.params.eos_enabled),
             self.params.eos_threshold, self.params.eos_min_frames,
             self.eos_after, self.frames_each, flags=engine.flags,
+            emit_i16=True,
         )
         try:  # overlap the transfer with the next frame's device work
             pcm.copy_to_host_async()
@@ -264,7 +302,7 @@ class StreamingSession:
         active = ~was_done
         self.frames_used += active.astype(np.int64)
         return StreamChunk(
-            pcm=np.asarray(pcm, np.float32),
+            pcm_i16=np.asarray(pcm),
             frame_index=idx,
             active=active,
             eos_logits=np.asarray(eos, np.float32),

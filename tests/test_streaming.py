@@ -5,6 +5,7 @@ import pytest
 
 from helpers import TINY_FLOWLM, TINY_MIMI, assert_close, write_model_dir
 from ptts_tpu import api
+from ptts_tpu.io import wav
 from ptts_tpu.runtime.streaming import StreamingSession
 
 
@@ -17,20 +18,46 @@ def ctx(tmp_path_factory):
 
 @pytest.mark.slow
 def test_streaming_matches_offline(ctx):
+    """Streaming emits device-quantized int16; compare against the offline
+    f32 audio pushed through the exact host quantizer (io/wav.quantize_i16,
+    ptts_audio.c:82-88). Offline vs streaming f32 already agree to ~2e-4,
+    i.e. ~7 LSB after *32767."""
     p = api.Params(num_frames=5, num_steps=1, seed=9, temp=0.6, eos_enabled=False)
     texts = ["hello world", "how low"]
 
     offline = ctx.engine.batch_generate(texts, params=p)
 
     session = StreamingSession.start(ctx.engine, texts, params=p)
-    chunks = [c.pcm for c in session]
+    chunks = [c.pcm_i16 for c in session]
     assert len(chunks) == 5
     streamed = np.concatenate(chunks, axis=1)
 
     for b, audio in enumerate(offline):
         n = audio.num_samples
-        assert_close(streamed[b, :n], audio.samples, atol=2e-4, rtol=2e-4,
-                     msg=f"stream {b}")
+        ref = wav.quantize_i16(audio.samples)
+        diff = np.abs(streamed[b, :n].astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 8, f"stream {b}: max {diff.max()} LSB"
+
+
+def test_device_quantization_matches_host_bitexact():
+    """quantize_i16_device == io/wav.quantize_i16 byte-for-byte, including
+    the adversarial cases: out-of-range clamps, exact integer multiples,
+    truncation toward zero for both signs, and +/-1.0 endpoints."""
+    import jax.numpy as jnp
+
+    from ptts_tpu.runtime.streaming import quantize_i16_device
+
+    adversarial = np.array(
+        [0.0, 1.0, -1.0, 1.5, -1.5, 0.99999, -0.99999,
+         1.0 / 32767.0, -1.0 / 32767.0, 0.5, -0.5,
+         np.float32(100.0 / 32767.0), -np.float32(100.0 / 32767.0),
+         3.05e-5, -3.05e-5], np.float32)
+    rng = np.random.default_rng(0)
+    rand = (rng.standard_normal(4096) * 0.7).astype(np.float32)
+    for samples in (adversarial, rand):
+        dev = np.asarray(quantize_i16_device(jnp.asarray(samples)))
+        host = wav.quantize_i16(samples)
+        np.testing.assert_array_equal(dev, host)
 
 
 def test_streaming_chunk_shape_and_framecount(ctx):
