@@ -15,11 +15,18 @@ import numpy as np
 
 @dataclass
 class Audio:
-    """f32 interleaved samples, mirror of ptts_audio (ptts_audio.h)."""
+    """f32 interleaved samples, mirror of ptts_audio (ptts_audio.h).
+
+    ``pcm_i16``, when present, carries already-quantized int16 PCM (e.g.
+    device-quantized by the serving path); WAV writers emit those exact
+    bytes instead of re-quantizing ``samples`` (re-quantizing a dequantized
+    value can flip LSBs through f32 roundoff).
+    """
 
     sample_rate: int
     channels: int
     samples: np.ndarray  # float32 [num_samples * channels]
+    pcm_i16: np.ndarray | None = None  # int16, same layout as samples
 
     @property
     def num_samples(self) -> int:
@@ -59,7 +66,10 @@ def save_wav(audio: Audio, path: str) -> None:
     byte_rate = sample_rate * num_channels * bytes_per_sample
     block_align = num_channels * bytes_per_sample
 
-    pcm = quantize_i16(audio.samples[:total_samples])
+    if audio.pcm_i16 is not None:
+        pcm = np.asarray(audio.pcm_i16[:total_samples], np.int16)
+    else:
+        pcm = quantize_i16(audio.samples[:total_samples])
     with open(path, "wb") as f:
         f.write(b"RIFF")
         f.write(struct.pack("<I", 36 + data_bytes))

@@ -64,8 +64,14 @@ class Request:
 @dataclasses.dataclass
 class Result:
     rid: int
-    audio: np.ndarray           # concatenated PCM f32
+    pcm_i16: np.ndarray         # concatenated PCM, device-quantized int16
+    #                             (exact WAV bytes -- ptts_audio.c:82-88)
     frames: int
+
+    @property
+    def audio(self) -> np.ndarray:
+        """f32 view (i16/32767) for numeric consumers."""
+        return self.pcm_i16.astype(np.float32) / np.float32(32767.0)
 
 
 @functools.partial(
@@ -74,7 +80,7 @@ class Result:
     # eos_step, frame_idx) and x_all stay un-donated because the in-flight
     # pipelined frame (ContinuousBatcher._pending) still references them
     # when an admission lands between its dispatch and its collection
-    donate_argnames=("cache", "mimi_state", "time_embs"),
+    donate_argnames=("cache", "mimi_state", "time_embs", "noise_tab"),
 )
 def admit_slots(
     w,
@@ -85,10 +91,12 @@ def admit_slots(
     frame_idx: jnp.ndarray,     # [B1]
     mimi_state,
     time_embs: jnp.ndarray,     # [B1, S_max, flow_dim] per-slot Euler tables
+    noise_tab: jnp.ndarray,     # [B1, F_max, latent] per-slot noise tables
     slot_ids: jnp.ndarray,      # [n] target rows (trash row for padding)
     prefix: jnp.ndarray,        # [n, T0, d] back-padded prompts
     lengths: jnp.ndarray,       # [n]
     te_rows: jnp.ndarray,       # [n, S_max, flow_dim] new slots' tables
+    noise_rows: jnp.ndarray,    # [n, F_max, latent] new slots' noise
     cfg: FlowLMConfig,
     flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
 ):
@@ -114,6 +122,7 @@ def admit_slots(
     done = done.at[slot_ids].set(False)
     frame_idx = frame_idx.at[slot_ids].set(0)
     time_embs = time_embs.at[slot_ids].set(te_rows.astype(time_embs.dtype))
+    noise_tab = noise_tab.at[slot_ids].set(noise_rows.astype(noise_tab.dtype))
 
     mimi_state = {
         "up": mimi_state["up"].at[slot_ids].set(0.0),
@@ -129,7 +138,8 @@ def admit_slots(
         ],
         "dec_out": mimi_state["dec_out"].at[slot_ids].set(0.0),
     }
-    return cache, x_all, eos_step, done, frame_idx, mimi_state, time_embs
+    return (cache, x_all, eos_step, done, frame_idx, mimi_state, time_embs,
+            noise_tab)
 
 
 @functools.partial(jax.jit, static_argnames=("prefix_budget",),
@@ -171,7 +181,8 @@ class ContinuousBatcher:
 
     def __init__(self, engine, slots: int = 32, max_len: int = 512,
                  admit_chunk: int = 8, prefix_budget: int = 128,
-                 max_num_steps: int = 8, pipeline: bool = True):
+                 max_num_steps: int = 8, pipeline: bool = True,
+                 noise_budget: int = 0):
         self.engine = engine
         self.cfg = engine.flowlm_cfg
         self.slots = slots
@@ -181,6 +192,11 @@ class ContinuousBatcher:
         self.admit_chunk = admit_chunk
         self.prefix_budget = prefix_budget
         self.max_num_steps = max_num_steps  # pool-wide Euler table width
+        # widest per-request frame count the pool accepts: sizes the
+        # device-resident noise tables (uploaded once at admission; each
+        # frame's row is gathered on device, so the steady-state step needs
+        # no per-frame host uploads)
+        self.noise_budget = noise_budget or (max_len - prefix_budget)
         assert prefix_budget < max_len
 
         dt = engine.dtype
@@ -202,6 +218,10 @@ class ContinuousBatcher:
         self.time_embs = jnp.zeros(
             (self.B1, max_num_steps, cfg.flow_dim), jnp.float32
         )
+        # per-slot noise tables [B1, F_max, latent], device-resident
+        self.noise_tab = jnp.zeros(
+            (self.B1, self.noise_budget, cfg.latent_dim), dt
+        )
         self._te_cache: Dict[int, np.ndarray] = {}  # num_steps -> padded row
 
         self.slot_req: List[Optional[Request]] = [None] * slots
@@ -217,7 +237,6 @@ class ContinuousBatcher:
         self._num_steps = np.ones(self.B1, np.int32)
         self._eos_threshold = np.full(self.B1, 1e30, np.float32)
         self._eos_min_frames = np.ones(self.B1, np.int32)
-        self._noise: List[Optional[np.ndarray]] = [None] * self.B1
 
         # Host MIRRORS of device state, so the double-buffered step loop
         # (dispatch frame N+1 before reading frame N's chunk) never has to
@@ -262,6 +281,11 @@ class ContinuousBatcher:
                 f"{self.prefix_budget}"
             )
         max_frames = p.num_frames if p.num_frames > 0 else estimate_frames(wc)
+        if max_frames > self.noise_budget:
+            raise api.PttsError(
+                f"request needs {max_frames} frames > pool noise_budget "
+                f"{self.noise_budget} (raise it at construction)"
+            )
         seed = p.seed if p.seed != -1 else int(time.time())
         with self._rid_lock:
             rid = self._next_rid
@@ -318,18 +342,20 @@ class ContinuousBatcher:
             slot_ids = np.full(n, self.trash, np.int32)
             te_rows = np.zeros((n, self.max_num_steps, self.cfg.flow_dim),
                                np.float32)
+            noise_rows = np.zeros((n, self.noise_budget, self.cfg.latent_dim),
+                                  np.float32)
             for j, (slot, req) in enumerate(group):
                 prefix[j, : len(req.prefix)] = req.prefix
                 lengths[j] = len(req.prefix)
                 slot_ids[j] = slot
                 te_rows[j] = self._te_row(req.num_steps)
+                noise_rows[j, : len(req.noise)] = req.noise
                 self.slot_req[slot] = req
                 self._eos_after[slot] = req.eos_after
                 self._max_frames[slot] = req.max_frames
                 self._num_steps[slot] = req.num_steps
                 self._eos_threshold[slot] = req.eos_threshold
                 self._eos_min_frames[slot] = req.eos_min_frames
-                self._noise[slot] = req.noise
                 # host mirrors (see __init__): slot becomes live for every
                 # dispatch with seq >= the current counter
                 self._start_np[slot] = self._cursor_np
@@ -338,21 +364,15 @@ class ContinuousBatcher:
                 self._admit_seq[slot] = self._seq
 
             (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
-             self.mimi_state, self.time_embs) = admit_slots(
+             self.mimi_state, self.time_embs, self.noise_tab) = admit_slots(
                 self.engine.fw, self.cache, self.x, self.eos_step, self.done,
                 self.frame_idx, self.mimi_state, self.time_embs,
+                self.noise_tab,
                 jnp.asarray(slot_ids), jnp.asarray(prefix, self.engine.dtype),
-                jnp.asarray(lengths), jnp.asarray(te_rows), self.cfg,
+                jnp.asarray(lengths), jnp.asarray(te_rows),
+                jnp.asarray(noise_rows, self.engine.dtype), self.cfg,
                 flags=self.engine.flags,
             )
-
-    def _gather_noise(self) -> np.ndarray:
-        noise = np.zeros((self.B1, self.cfg.latent_dim), np.float32)
-        for slot in range(self.slots):
-            req = self.slot_req[slot]
-            if req is not None and self._frame_np[slot] < len(self._noise[slot]):
-                noise[slot] = self._noise[slot][self._frame_np[slot]]
-        return noise
 
     # -- double-buffered frame machinery --------------------------------------
     #
@@ -381,17 +401,18 @@ class ContinuousBatcher:
     def _dispatch(self) -> None:
         """Queue one pool frame on the device; start the PCM host copy."""
         engine = self.engine
-        noise = jnp.asarray(self._gather_noise(), engine.dtype)
         was_done_dev = self.done  # DEVICE pre-step done: exact chunk routing
-        # eos params are per-slot arrays; "disabled" is threshold=+1e30
+        # eos params are per-slot arrays; "disabled" is threshold=+1e30;
+        # noise rows are gathered on device from the per-slot tables
         (self.cache, self.mimi_state, self.x, pcm, eos,
          self.eos_step, self.done) = fused_stream_step(
-            engine.fw, engine.mw, self.cache, self.mimi_state, self.x, noise,
+            engine.fw, engine.mw, self.cache, self.mimi_state, self.x,
+            self.noise_tab,
             self.time_embs, self.frame_idx, self.eos_step, self.done,
             self.cfg, engine.mimi_cfg, True,
             jnp.asarray(self._eos_threshold), jnp.asarray(self._eos_min_frames),
             jnp.asarray(self._eos_after), jnp.asarray(self._max_frames),
-            jnp.asarray(self._num_steps), flags=engine.flags,
+            jnp.asarray(self._num_steps), flags=engine.flags, emit_i16=True,
         )
         self.frame_idx = self.frame_idx + 1
         try:  # overlap the transfer with the next frame's device work
@@ -406,7 +427,7 @@ class ContinuousBatcher:
     def _collect(self, pend) -> int:
         """Read an in-flight frame's chunk; finalize finished requests."""
         pcm_dev, done_dev, was_done_dev, seq = pend
-        pcm_np = np.asarray(pcm_dev, np.float32)
+        pcm_np = np.asarray(pcm_dev)  # int16 (device-quantized)
         done_np = np.asarray(done_dev)
         was_done = np.asarray(was_done_dev)
         # slots admitted AFTER this frame was dispatched keep their mirror
@@ -424,11 +445,11 @@ class ContinuousBatcher:
                 parts = self.chunks.pop(req.rid)
                 self.finished[req.rid] = Result(
                     rid=req.rid,
-                    audio=np.concatenate(parts) if parts else np.zeros(0, np.float32),
+                    pcm_i16=(np.concatenate(parts) if parts
+                             else np.zeros(0, np.int16)),
                     frames=len(parts),
                 )
                 self.slot_req[slot] = None
-                self._noise[slot] = None
         return sum(1 for s in self.slot_req if s is not None)
 
     def step(self) -> int:

@@ -48,7 +48,10 @@ def wav_bytes(audio: Audio) -> bytes:
     nch = audio.channels
     data_bytes = audio.num_samples * nch * (bits // 8)
     byte_rate = audio.sample_rate * nch * (bits // 8)
-    pcm = quantize_i16(audio.samples[: audio.num_samples * nch])
+    if audio.pcm_i16 is not None:  # device-quantized: exact bytes, no requant
+        pcm = np.asarray(audio.pcm_i16[: audio.num_samples * nch], np.int16)
+    else:
+        pcm = quantize_i16(audio.samples[: audio.num_samples * nch])
     buf = io.BytesIO()
     buf.write(b"RIFF")
     buf.write(struct.pack("<I", 36 + data_bytes))
@@ -144,7 +147,6 @@ class TTSService:
                     self._errors[req.rid] = e
                     b.chunks.pop(req.rid, None)
                     b.slot_req[slot] = None
-                    b._noise[slot] = None
                     b._done_np[slot] = True
                     b._max_frames[slot] = 0
             self._cv.notify_all()
@@ -175,7 +177,8 @@ class TTSService:
                         del b.finished[rid]
                         self._results[rid] = (Audio(
                             sample_rate=sr, channels=1,
-                            samples=np.asarray(res.audio, np.float32),
+                            samples=res.audio,  # f32 view for API consumers
+                            pcm_i16=res.pcm_i16,  # exact device WAV bytes
                         ), now)
                     # expire unclaimed results (timed-out waiters never pop)
                     for rid, (_, ts) in list(self._results.items()):

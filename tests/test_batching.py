@@ -5,6 +5,7 @@ import pytest
 
 from helpers import TINY_FLOWLM, TINY_MIMI, assert_close, write_model_dir
 from ptts_tpu import api
+from ptts_tpu.io import wav
 from ptts_tpu.runtime.batching import ContinuousBatcher
 
 
@@ -19,6 +20,16 @@ def _offline(ctx, text, params):
     return ctx.engine.generate(text, params=params)
 
 
+def _assert_pcm_close(got, want_f32, msg="", max_lsb=8):
+    """Batcher output is device-quantized int16; compare against the offline
+    f32 audio pushed through the exact host quantizer. The pre-existing
+    batcher-vs-offline f32 drift was ~2-3e-4, i.e. ~7-10 LSB after *32767."""
+    ref = wav.quantize_i16(want_f32)
+    assert got.pcm_i16.shape == ref.shape, msg
+    diff = np.abs(got.pcm_i16.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= max_lsb, f"{msg}: max {diff.max()} LSB"
+
+
 @pytest.mark.slow
 def test_single_request_matches_offline(ctx):
     p = api.Params(num_frames=4, num_steps=1, seed=5, temp=0.5, eos_enabled=False)
@@ -31,7 +42,7 @@ def test_single_request_matches_offline(ctx):
     p_off = api.Params(**{**p.__dict__, "seed": p.seed + rid})
     want = _offline(ctx, "hello world", p_off)
     assert got.frames == 4
-    assert_close(got.audio, want.samples, atol=2e-4, rtol=2e-4)
+    _assert_pcm_close(got, want.samples)
 
 
 @pytest.mark.slow
@@ -50,8 +61,7 @@ def test_staggered_admission_matches_offline(ctx):
         p_off = api.Params(**{**p.__dict__, "seed": p.seed + rid})
         want = _offline(ctx, text, p_off)
         got = results[rid]
-        assert got.audio.shape == want.samples.shape, text
-        assert_close(got.audio, want.samples, atol=3e-4, rtol=3e-4, msg=text)
+        _assert_pcm_close(got, want.samples, msg=text, max_lsb=10)
 
 
 def test_eos_frees_slots(ctx):
@@ -95,8 +105,7 @@ def test_compaction_reclaims_finished_slots(ctx):
                            seed=70 + i + rid, temp=0.4, eos_enabled=False)
         want = _offline(ctx, text, p_off)
         assert results[rid].frames == frames, text
-        assert_close(results[rid].audio, want.samples, atol=3e-4, rtol=3e-4,
-                     msg=text)
+        _assert_pcm_close(results[rid], want.samples, msg=text, max_lsb=10)
 
 
 def test_cache_compaction(ctx):
@@ -114,8 +123,7 @@ def test_cache_compaction(ctx):
     for rid, text in zip(rids, texts):
         p_off = api.Params(**{**p.__dict__, "seed": p.seed + rid})
         want = _offline(ctx, text, p_off)
-        assert_close(results[rid].audio, want.samples, atol=3e-4, rtol=3e-4,
-                     msg=text)
+        _assert_pcm_close(results[rid], want.samples, msg=text, max_lsb=10)
 
 
 @pytest.mark.slow
@@ -145,8 +153,7 @@ def test_heterogeneous_params_match_offline(ctx):
         p_off = api.Params(**{**p.__dict__, "seed": p.seed + rid})
         want = _offline(ctx, text, p_off)
         got = results[rid]
-        assert got.audio.shape == want.samples.shape, text
-        assert_close(got.audio, want.samples, atol=3e-4, rtol=3e-4, msg=text)
+        _assert_pcm_close(got, want.samples, msg=text, max_lsb=10)
 
 
 def test_num_steps_above_pool_cap_rejected(ctx):
@@ -188,4 +195,4 @@ def test_pipelined_equals_serial_batcher(ctx):
     assert rids_s == rids_p
     for rid in rids_s:
         assert res_s[rid].frames == res_p[rid].frames
-        np.testing.assert_array_equal(res_s[rid].audio, res_p[rid].audio)
+        np.testing.assert_array_equal(res_s[rid].pcm_i16, res_p[rid].pcm_i16)
