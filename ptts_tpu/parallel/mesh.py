@@ -119,3 +119,32 @@ def pad_batch_to_mesh(batch: int, mesh: Mesh) -> int:
     """Round a batch size up to a multiple of the mesh size."""
     n = mesh.size
     return ((batch + n - 1) // n) * n
+
+
+def num_host_groups(mesh: Mesh) -> int:
+    """Host groups along the slow (DCN) axis; 1 for single-host meshes."""
+    if DCN_AXIS in mesh.axis_names:
+        return mesh.shape[DCN_AXIS]
+    return 1
+
+
+def shard_mimi_stream_state(mesh: Mesh, state):
+    """Shard a mimi_stream state pytree on its batch dims.
+
+    Layout (mimi_stream.init_state): every leaf is [B, ...] except the
+    transformer ring K/V, which are [L, B, RING, H, D] (batch at dim 1)."""
+
+    def put(x, batch_dim=0):
+        return shard_batch_array(mesh, x, batch_dim)
+
+    return {
+        "up": put(state["up"]),
+        "ring": {
+            "k": put(state["ring"]["k"], 1),
+            "v": put(state["ring"]["v"], 1),
+            "pos": put(state["ring"]["pos"]),
+        },
+        "dec_in": put(state["dec_in"]),
+        "stages": [{k: put(v) for k, v in st.items()} for st in state["stages"]],
+        "dec_out": put(state["dec_out"]),
+    }

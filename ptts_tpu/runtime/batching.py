@@ -42,9 +42,44 @@ import numpy as np
 from .. import api
 from ..config import FlowLMConfig
 from ..models import flowlm, mimi_stream
+from ..parallel import mesh as pmesh
 from ..rng import frame_noise
 from ..text import estimate_frames, prepare_text
 from .streaming import fused_stream_step
+
+
+class _QueueView:
+    """Deque-like façade over the per-host admission queues.
+
+    External consumers (server drain/shutdown, benches) treat the batcher's
+    queue as one logical deque; internally admission is per host group so a
+    request's prefix/noise upload only targets its owning hosts' pool rows."""
+
+    def __init__(self, qs: Sequence[deque]):
+        self._qs = qs
+
+    def __len__(self) -> int:
+        return sum(len(q) for q in self._qs)
+
+    def __iter__(self):
+        for q in self._qs:
+            yield from q
+
+    def __bool__(self) -> bool:
+        return any(self._qs)
+
+    def append(self, req) -> None:  # pragma: no cover - prefer enqueue()
+        self._qs[0].append(req)
+
+    def popleft(self):
+        for q in self._qs:
+            if q:
+                return q.popleft()
+        raise IndexError("pop from empty queue")
+
+    def clear(self) -> None:
+        for q in self._qs:
+            q.clear()
 
 
 @dataclasses.dataclass
@@ -177,17 +212,61 @@ def compact_cache(cache: flowlm.KVCache, done: jnp.ndarray,
 
 
 class ContinuousBatcher:
-    """Fixed-slot continuous batching server for one chip (or one mesh)."""
+    """Fixed-slot continuous batching server for one chip (or one mesh).
+
+    With ``mesh`` (parallel/mesh.make_mesh or make_multihost_mesh) the whole
+    slot pool -- KV cache, streaming-Mimi state, per-slot params, noise/Euler
+    tables -- is sharded on the slot axis across the mesh (weights stay
+    replicated; serving is pure data parallelism, SURVEY.md §2). Admission is
+    PER HOST GROUP along the slow ``dcn`` axis: each host group owns a
+    contiguous block of pool rows and its own queue, so a request's prefill
+    scatter only writes rows resident on that group's devices and no stream
+    state ever crosses DCN. ``submit(..., host=h)`` pins a request; the
+    default routes to the group with the most headroom. The jitted step/admit
+    functions are unchanged -- shardings ride in on the arrays and GSPMD
+    partitions the same programs."""
 
     def __init__(self, engine, slots: int = 32, max_len: int = 512,
                  admit_chunk: int = 8, prefix_budget: int = 128,
                  max_num_steps: int = 8, pipeline: bool = True,
-                 noise_budget: int = 0):
+                 noise_budget: int = 0, mesh=None):
         self.engine = engine
         self.cfg = engine.flowlm_cfg
         self.slots = slots
-        self.B1 = slots + 1  # + trash row
-        self.trash = slots
+        self.mesh = mesh
+        self.n_hosts = pmesh.num_host_groups(mesh) if mesh is not None else 1
+        # Pool-row layout. Rows shard over the mesh in dcn-major order, so
+        # host group h's devices hold the contiguous block
+        # [h*rows_per_host, (h+1)*rows_per_host). Each block is that group's
+        # usable slots followed by its own trash row(s) (absorb padded
+        # admissions locally + pad the row axis to divide the mesh). "Slot"
+        # IS the pool-row index throughout; self.slot_rows lists the usable
+        # ones.
+        if mesh is not None and self.n_hosts > 1:
+            H = self.n_hosts
+            if slots % H:
+                raise ValueError(
+                    f"slots={slots} must divide evenly across {H} host groups"
+                )
+            u = slots // H
+            per_dev = mesh.size // H  # devices per host group
+            rows = -(-(u + 1) // per_dev) * per_dev  # >= u+1, shards evenly
+            self.B1 = H * rows
+            self._host_slots = [list(range(h * rows, h * rows + u))
+                                for h in range(H)]
+            self._host_trash = [h * rows + u for h in range(H)]
+        else:
+            self.B1 = (pmesh.pad_batch_to_mesh(slots + 1, mesh)
+                       if mesh is not None else slots + 1)
+            self._host_slots = [list(range(slots))]
+            self._host_trash = [slots]
+        self.trash = self._host_trash[0]
+        self.slot_rows = np.array(
+            [s for hs in self._host_slots for s in hs], np.int64
+        )
+        dead = np.ones(self.B1, bool)
+        dead[self.slot_rows] = False
+        self._dead_rows = np.nonzero(dead)[0]
         self.max_len = max_len
         self.admit_chunk = admit_chunk
         self.prefix_budget = prefix_budget
@@ -222,10 +301,23 @@ class ContinuousBatcher:
         self.noise_tab = jnp.zeros(
             (self.B1, self.noise_budget, cfg.latent_dim), dt
         )
+        if mesh is not None:
+            # shard the pool on the slot axis; jitted step/admit programs
+            # pick the shardings up from the arrays (GSPMD)
+            self.cache = pmesh.shard_cache(mesh, self.cache)
+            self.mimi_state = pmesh.shard_mimi_stream_state(mesh, self.mimi_state)
+            self.x = self._put_b(self.x)
+            self.eos_step = self._put_b(self.eos_step)
+            self.done = self._put_b(self.done)
+            self.frame_idx = self._put_b(self.frame_idx)
+            self.time_embs = self._put_b(self.time_embs)
+            self.noise_tab = self._put_b(self.noise_tab)
         self._te_cache: Dict[int, np.ndarray] = {}  # num_steps -> padded row
 
-        self.slot_req: List[Optional[Request]] = [None] * slots
-        self.queue: deque[Request] = deque()
+        # row-indexed; only rows in slot_rows ever hold a request
+        self.slot_req: List[Optional[Request]] = [None] * self.B1
+        self.queues: List[deque] = [deque() for _ in range(self.n_hosts)]
+        self.queue = _QueueView(self.queues)
         self.chunks: Dict[int, List[np.ndarray]] = {}
         self.finished: Dict[int, Result] = {}
         self._next_rid = 0
@@ -252,6 +344,22 @@ class ContinuousBatcher:
         self._seq = 0                            # dispatch counter
         self._admit_seq = np.full(self.B1, -1, np.int64)
         self.pipeline = pipeline
+
+    # -- device placement ------------------------------------------------------
+
+    def _put_b(self, x, batch_dim: int = 0):
+        """Place a per-slot array ([..., B1, ...]) sharded on the slot axis."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, pmesh.batch_sharding(self.mesh, batch_dim))
+
+    def _put_rep(self, x, dtype=None):
+        """Place an admission-group array replicated across the mesh."""
+        x = jnp.asarray(x, dtype) if dtype is not None else jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, pmesh.replicated(self.mesh))
 
     # -- submission ----------------------------------------------------------
 
@@ -303,15 +411,33 @@ class ContinuousBatcher:
             eos_min_frames=p.eos_min_frames,
         )
 
-    def enqueue(self, req: Request) -> int:
-        """Queue a prepared Request for admission (cheap; lock-holding ok)."""
-        self.queue.append(req)
+    def _route_host(self) -> int:
+        """Pick the host group with the most admission headroom."""
+        if self.n_hosts == 1:
+            return 0
+
+        def backlog(h: int) -> int:
+            free = sum(1 for s in self._host_slots[h]
+                       if self.slot_req[s] is None)
+            return len(self.queues[h]) - free
+
+        return min(range(self.n_hosts), key=lambda h: (backlog(h), h))
+
+    def enqueue(self, req: Request, host: Optional[int] = None) -> int:
+        """Queue a prepared Request for admission (cheap; lock-holding ok).
+
+        ``host`` pins the request to one host group's slot rows (multi-host
+        mesh); default routes to the group with the most headroom."""
+        h = self._route_host() if host is None else host
+        self.queues[h].append(req)
         self.chunks[req.rid] = []
         return req.rid
 
     def submit(self, text: str, voice: Optional[str] = None,
-               params: Optional[api.Params] = None) -> int:
-        return self.enqueue(self.prepare(text, voice=voice, params=params))
+               params: Optional[api.Params] = None,
+               host: Optional[int] = None) -> int:
+        return self.enqueue(self.prepare(text, voice=voice, params=params),
+                            host=host)
 
     def _te_row(self, num_steps: int) -> np.ndarray:
         """[S_max, flow_dim] Euler table for num_steps, zero-padded."""
@@ -329,17 +455,24 @@ class ContinuousBatcher:
     # -- serving loop ----------------------------------------------------------
 
     def _admit(self) -> None:
-        free = [i for i in range(self.slots) if self.slot_req[i] is None]
-        while free and self.queue:
-            group: List[Tuple[int, Request]] = []
-            while free and self.queue and len(group) < self.admit_chunk:
-                group.append((free.pop(0), self.queue.popleft()))
+        for h in range(self.n_hosts):
+            q = self.queues[h]
+            if not q:
+                continue
+            free = [s for s in self._host_slots[h] if self.slot_req[s] is None]
+            while free and q:
+                group: List[Tuple[int, Request]] = []
+                while free and q and len(group) < self.admit_chunk:
+                    group.append((free.pop(0), q.popleft()))
+                self._admit_group(group, self._host_trash[h])
 
+    def _admit_group(self, group: List[Tuple[int, Request]],
+                     trash_row: int) -> None:
             n = self.admit_chunk
             T0 = self.prefix_budget
             prefix = np.zeros((n, T0, self.cfg.d_model), np.float32)
             lengths = np.ones(n, np.int32)
-            slot_ids = np.full(n, self.trash, np.int32)
+            slot_ids = np.full(n, trash_row, np.int32)
             te_rows = np.zeros((n, self.max_num_steps, self.cfg.flow_dim),
                                np.float32)
             noise_rows = np.zeros((n, self.noise_budget, self.cfg.latent_dim),
@@ -368,9 +501,10 @@ class ContinuousBatcher:
                 self.engine.fw, self.cache, self.x, self.eos_step, self.done,
                 self.frame_idx, self.mimi_state, self.time_embs,
                 self.noise_tab,
-                jnp.asarray(slot_ids), jnp.asarray(prefix, self.engine.dtype),
-                jnp.asarray(lengths), jnp.asarray(te_rows),
-                jnp.asarray(noise_rows, self.engine.dtype), self.cfg,
+                self._put_rep(slot_ids),
+                self._put_rep(prefix, self.engine.dtype),
+                self._put_rep(lengths), self._put_rep(te_rows),
+                self._put_rep(noise_rows, self.engine.dtype), self.cfg,
                 flags=self.engine.flags,
             )
 
@@ -386,7 +520,7 @@ class ContinuousBatcher:
     def _maybe_compact(self) -> None:
         if self._cursor_np < self.max_len:
             return
-        done_view = jnp.asarray(self._done_np)
+        done_view = self._put_b(self._done_np)
         self.cache = compact_cache(self.cache, done_view, self.prefix_budget)
         # mirror the device's new layout exactly (same formula, same mask)
         n = np.where(self._done_np, 0, self._cursor_np - self._start_np)
@@ -410,9 +544,9 @@ class ContinuousBatcher:
             self.noise_tab,
             self.time_embs, self.frame_idx, self.eos_step, self.done,
             self.cfg, engine.mimi_cfg, True,
-            jnp.asarray(self._eos_threshold), jnp.asarray(self._eos_min_frames),
-            jnp.asarray(self._eos_after), jnp.asarray(self._max_frames),
-            jnp.asarray(self._num_steps), flags=engine.flags, emit_i16=True,
+            self._put_b(self._eos_threshold), self._put_b(self._eos_min_frames),
+            self._put_b(self._eos_after), self._put_b(self._max_frames),
+            self._put_b(self._num_steps), flags=engine.flags, emit_i16=True,
         )
         self.frame_idx = self.frame_idx + 1
         try:  # overlap the transfer with the next frame's device work
@@ -434,8 +568,8 @@ class ContinuousBatcher:
         # (the frame predates them); the trash row is never live on the host
         fresh = self._admit_seq > seq
         self._done_np = np.where(fresh, self._done_np, done_np)
-        self._done_np[self.trash] = True
-        for slot in range(self.slots):
+        self._done_np[self._dead_rows] = True
+        for slot in self.slot_rows:
             req = self.slot_req[slot]
             if req is None or fresh[slot]:
                 continue
@@ -465,7 +599,7 @@ class ContinuousBatcher:
             self._maybe_compact()
             self._dispatch()
         pend, self._pending = self._pending, None
-        if self.pipeline and not self._done_np[: self.slots].all():
+        if self.pipeline and not self._done_np[self.slot_rows].all():
             # speculative next frame: overlaps the readback in _collect()
             self._maybe_compact()
             self._dispatch()

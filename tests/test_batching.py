@@ -196,3 +196,70 @@ def test_pipelined_equals_serial_batcher(ctx):
     for rid in rids_s:
         assert res_s[rid].frames == res_p[rid].frames
         np.testing.assert_array_equal(res_s[rid].pcm_i16, res_p[rid].pcm_i16)
+
+
+def test_sharded_batcher_matches_unsharded(ctx):
+    """Slot pool sharded over the hybrid (dcn, batch) mesh with per-host
+    admission must reproduce the single-device batcher. Streams are
+    row-independent, but GSPMD repartitioning may re-fuse f32 ops, so samples
+    sitting exactly on a quantization boundary may flip by 1 LSB."""
+    import jax
+
+    from ptts_tpu.parallel import mesh as pmesh
+
+    hmesh = pmesh.make_multihost_mesh(num_hosts=2, devices=jax.devices()[:8])
+    specs = [
+        ("hello world", api.Params(num_frames=3, num_steps=1, seed=31,
+                                   temp=0.5, eos_enabled=False)),
+        ("how low can it go", api.Params(num_frames=5, num_steps=2, seed=32,
+                                         temp=0.7, eos_enabled=True,
+                                         eos_threshold=-1e9,
+                                         eos_min_frames=2, eos_after=1)),
+        ("hello hello", api.Params(num_frames=2, num_steps=1, seed=33,
+                                   temp=0.4, eos_enabled=False)),
+        ("more text here", api.Params(num_frames=4, num_steps=1, seed=34,
+                                      temp=0.6, eos_enabled=False)),
+        ("last one", api.Params(num_frames=3, num_steps=2, seed=35,
+                                temp=0.8, eos_enabled=False)),
+    ]
+
+    def run(mesh):
+        b = ContinuousBatcher(ctx.engine, slots=4, max_len=64, admit_chunk=2,
+                              prefix_budget=32, max_num_steps=2, mesh=mesh)
+        rids = [b.submit(t, params=p) for t, p in specs]
+        return rids, b.drain(), b
+
+    rids_u, res_u, _ = run(None)
+    rids_s, res_s, bs = run(hmesh)
+    assert rids_u == rids_s
+    # pool rows divide the mesh; both host groups own slots
+    assert bs.B1 % hmesh.size == 0
+    assert all(bs._host_slots[h] for h in range(bs.n_hosts))
+    for rid, (text, _) in zip(rids_u, specs):
+        assert res_s[rid].frames == res_u[rid].frames, text
+        a = res_s[rid].pcm_i16.astype(np.int32)
+        b = res_u[rid].pcm_i16.astype(np.int32)
+        assert a.shape == b.shape, text
+        assert np.abs(a - b).max() <= 1, text
+
+
+def test_sharded_batcher_host_pinning(ctx):
+    """submit(host=h) admits into host h's own slot rows."""
+    import jax
+
+    from ptts_tpu.parallel import mesh as pmesh
+
+    hmesh = pmesh.make_multihost_mesh(num_hosts=2, devices=jax.devices()[:8])
+    b = ContinuousBatcher(ctx.engine, slots=4, max_len=64, admit_chunk=2,
+                          prefix_budget=32, mesh=hmesh)
+    p = api.Params(num_frames=2, num_steps=1, seed=40, temp=0.5,
+                   eos_enabled=False)
+    rid0 = b.submit("hello world", params=p, host=0)
+    rid1 = b.submit("hello world", params=p, host=1)
+    b.step()  # admission happens at the top of step()
+    slot_of = {req.rid: s for s, req in enumerate(b.slot_req)
+               if req is not None}
+    assert slot_of[rid0] in b._host_slots[0]
+    assert slot_of[rid1] in b._host_slots[1]
+    res = b.drain()
+    assert res[rid0].frames == 2 and res[rid1].frames == 2
