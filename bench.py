@@ -177,7 +177,8 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
 
 
 def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
-                      max_seconds: float = 120.0, verbose: bool = True):
+                      max_seconds: float = 120.0, verbose: bool = True,
+                      frames_per_step: int = 1):
     """Sustained continuous-batching throughput on the chip.
 
     Drives the production ContinuousBatcher (admission -> fused
@@ -209,7 +210,8 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
 
     T0 = 64
     b = ContinuousBatcher(eng, slots=slots, max_len=256, admit_chunk=16,
-                          prefix_budget=T0, max_num_steps=1)
+                          prefix_budget=T0, max_num_steps=1,
+                          frames_per_step=frames_per_step)
     rng = np.random.default_rng(0)
     admit_t = {}          # rid -> time the batcher placed it in a slot
     first_chunk_ms = []   # admission -> first 80 ms chunk read back
@@ -265,6 +267,9 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
     # clock; exclude them from the latency stats (throughput still counts them)
     pending_first.clear()
     first_chunk_ms.clear()
+    b.phase_s = {k: 0.0 for k in b.phase_s}
+    b.n_steps = 0
+    b.n_admit_groups = 0
 
     frames_done = 0
     finished = 0
@@ -287,9 +292,18 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
     if verbose:
         print(
             f"[bench] batcher: slots={slots} dtype={dtype_name} "
+            f"fps={frames_per_step} "
             f"finished={finished} frames={frames_done} wall={wall:.1f}s -> "
             f"{streams:.1f} sustained streams/chip, first-chunk p50 "
             f"{p50:.0f} ms",
+            file=sys.stderr,
+        )
+        n = max(b.n_steps, 1)
+        phases = " ".join(f"{k}={v / n * 1e3:.1f}" for k, v in b.phase_s.items())
+        print(
+            f"[bench] batcher phases (ms/step over {b.n_steps} steps, "
+            f"{b.n_admit_groups} admit groups): {phases} "
+            f"other={(wall - sum(b.phase_s.values())) / n * 1e3:.1f}",
             file=sys.stderr,
         )
     return streams, p50, finished, wall
@@ -325,11 +339,13 @@ def main() -> int:
     try:
         bslots = int(os.environ.get("PTTS_BENCH_BATCHER_SLOTS", str(b)))
         breqs = int(os.environ.get("PTTS_BENCH_BATCHER_REQS", "1200"))
+        bfps = int(os.environ.get("PTTS_BENCH_FPS", "4"))
         streams_b, p50_b, fin_b, wall_b = run_batcher_bench(
-            bslots, dtype, breqs)
+            bslots, dtype, breqs, frames_per_step=bfps)
         result["detail"]["sustained_batcher_streams"] = round(streams_b, 2)
         result["detail"]["batcher_first_chunk_p50_ms"] = round(p50_b, 1)
         result["detail"]["batcher_finished"] = fin_b
+        result["detail"]["batcher_frames_per_step"] = bfps
     except Exception as e:  # never sink the headline metric
         print(f"[bench] batcher bench failed: {e}", file=sys.stderr)
 

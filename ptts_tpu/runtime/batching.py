@@ -45,7 +45,7 @@ from ..models import flowlm, mimi_stream
 from ..parallel import mesh as pmesh
 from ..rng import frame_noise
 from ..text import estimate_frames, prepare_text
-from .streaming import fused_stream_step
+from .streaming import fused_stream_step, fused_stream_steps
 
 
 class _QueueView:
@@ -229,7 +229,8 @@ class ContinuousBatcher:
     def __init__(self, engine, slots: int = 32, max_len: int = 512,
                  admit_chunk: int = 8, prefix_budget: int = 128,
                  max_num_steps: int = 8, pipeline: bool = True,
-                 noise_budget: int = 0, mesh=None):
+                 noise_budget: int = 0, mesh=None,
+                 frames_per_step: int = 1):
         self.engine = engine
         self.cfg = engine.flowlm_cfg
         self.slots = slots
@@ -269,6 +270,12 @@ class ContinuousBatcher:
         self._dead_rows = np.nonzero(dead)[0]
         self.max_len = max_len
         self.admit_chunk = admit_chunk
+        # frames per device dispatch: K > 1 amortizes the per-step host/RPC
+        # cost (readback, dispatch, admission) over K chunks per slot --
+        # higher sustained throughput at up to (K-1) frames (80 ms each) of
+        # extra chunk latency. K=1 is the latency-optimal streaming default.
+        self.frames_per_step = int(frames_per_step)
+        assert self.frames_per_step >= 1
         self.prefix_budget = prefix_budget
         self.max_num_steps = max_num_steps  # pool-wide Euler table width
         # widest per-request frame count the pool accepts: sizes the
@@ -329,6 +336,17 @@ class ContinuousBatcher:
         self._num_steps = np.ones(self.B1, np.int32)
         self._eos_threshold = np.full(self.B1, 1e30, np.float32)
         self._eos_min_frames = np.ones(self.B1, np.int32)
+        # device copies of the per-slot params: they only change at
+        # admission, so the steady-state dispatch re-uses these instead of
+        # re-uploading five host arrays every frame (each upload is a
+        # host->device RPC on remote-tunnel setups)
+        self._refresh_params_dev()
+        # host-blocking wall time per serving phase (step() bookkeeping;
+        # read by tools/bench + profile runs)
+        self.phase_s = {"admit": 0.0, "dispatch": 0.0, "collect": 0.0,
+                        "compact": 0.0}
+        self.n_admit_groups = 0
+        self.n_steps = 0
 
         # Host MIRRORS of device state, so the double-buffered step loop
         # (dispatch frame N+1 before reading frame N's chunk) never has to
@@ -346,6 +364,16 @@ class ContinuousBatcher:
         self.pipeline = pipeline
 
     # -- device placement ------------------------------------------------------
+
+    def _refresh_params_dev(self) -> None:
+        """Re-upload the per-slot generation params (admission-time only)."""
+        self._params_dev = (
+            self._put_b(self._eos_threshold),
+            self._put_b(self._eos_min_frames),
+            self._put_b(self._eos_after),
+            self._put_b(self._max_frames),
+            self._put_b(self._num_steps),
+        )
 
     def _put_b(self, x, batch_dim: int = 0):
         """Place a per-slot array ([..., B1, ...]) sharded on the slot axis."""
@@ -495,6 +523,8 @@ class ContinuousBatcher:
                 self._frame_np[slot] = 0
                 self._done_np[slot] = False
                 self._admit_seq[slot] = self._seq
+            self._refresh_params_dev()
+            self.n_admit_groups += 1
 
             (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
              self.mimi_state, self.time_embs, self.noise_tab) = admit_slots(
@@ -518,7 +548,7 @@ class ContinuousBatcher:
     # stale in-flight frame can't clobber the new slot's liveness.
 
     def _maybe_compact(self) -> None:
-        if self._cursor_np < self.max_len:
+        if self._cursor_np + self.frames_per_step <= self.max_len:
             return
         done_view = self._put_b(self._done_np)
         self.cache = compact_cache(self.cache, done_view, self.prefix_budget)
@@ -527,7 +557,7 @@ class ContinuousBatcher:
         new_cursor = int(self.prefix_budget + n.max())
         self._start_np = new_cursor - n
         self._cursor_np = new_cursor
-        if new_cursor >= self.max_len:
+        if new_cursor + self.frames_per_step > self.max_len:
             raise api.PttsError(
                 "cache exhausted even after compaction; raise max_len"
             )
@@ -538,32 +568,54 @@ class ContinuousBatcher:
         was_done_dev = self.done  # DEVICE pre-step done: exact chunk routing
         # eos params are per-slot arrays; "disabled" is threshold=+1e30;
         # noise rows are gathered on device from the per-slot tables
-        (self.cache, self.mimi_state, self.x, pcm, eos,
-         self.eos_step, self.done) = fused_stream_step(
-            engine.fw, engine.mw, self.cache, self.mimi_state, self.x,
-            self.noise_tab,
-            self.time_embs, self.frame_idx, self.eos_step, self.done,
-            self.cfg, engine.mimi_cfg, True,
-            self._put_b(self._eos_threshold), self._put_b(self._eos_min_frames),
-            self._put_b(self._eos_after), self._put_b(self._max_frames),
-            self._put_b(self._num_steps), flags=engine.flags, emit_i16=True,
+        eos_threshold, eos_min_frames, eos_after, max_frames, num_steps = (
+            self._params_dev  # admission-time device copies, no re-upload
         )
-        self.frame_idx = self.frame_idx + 1
+        k = self.frames_per_step
+        if k == 1:
+            (self.cache, self.mimi_state, self.x, pcm, eos,
+             self.eos_step, self.done) = fused_stream_step(
+                engine.fw, engine.mw, self.cache, self.mimi_state, self.x,
+                self.noise_tab,
+                self.time_embs, self.frame_idx, self.eos_step, self.done,
+                self.cfg, engine.mimi_cfg, True,
+                eos_threshold, eos_min_frames,
+                eos_after, max_frames,
+                num_steps, flags=engine.flags, emit_i16=True,
+            )
+            self.frame_idx = self.frame_idx + 1
+            wd = was_done_dev  # [B]: chunk is live iff not done pre-step
+        else:
+            (self.cache, self.mimi_state, self.x, pcm, eos,
+             self.eos_step, self.done, wd, self.frame_idx) = (
+                fused_stream_steps(
+                    engine.fw, engine.mw, self.cache, self.mimi_state, self.x,
+                    self.noise_tab,
+                    self.time_embs, self.frame_idx, self.eos_step, self.done,
+                    self.cfg, engine.mimi_cfg, True,
+                    eos_threshold, eos_min_frames,
+                    eos_after, max_frames,
+                    num_steps, k=k, flags=engine.flags, emit_i16=True,
+                )
+            )  # pcm [k, B, S]; wd [k, B] per-frame pre-step done
         try:  # overlap the transfer with the next frame's device work
             pcm.copy_to_host_async()
         except Exception:
             pass
-        self._pending = (pcm, self.done, was_done_dev, self._seq)
+        self._pending = (pcm, self.done, wd, self._seq)
         self._seq += 1
-        self._frame_np += 1
-        self._cursor_np += 1
+        self._frame_np += k
+        self._cursor_np += k
 
     def _collect(self, pend) -> int:
-        """Read an in-flight frame's chunk; finalize finished requests."""
+        """Read an in-flight frame's chunk(s); finalize finished requests."""
         pcm_dev, done_dev, was_done_dev, seq = pend
-        pcm_np = np.asarray(pcm_dev)  # int16 (device-quantized)
+        pcm_np = np.asarray(pcm_dev)  # int16; [B, S] or [k, B, S]
         done_np = np.asarray(done_dev)
-        was_done = np.asarray(was_done_dev)
+        was_done = np.asarray(was_done_dev)  # [B] or [k, B]
+        if pcm_np.ndim == 2:  # single-frame dispatch
+            pcm_np = pcm_np[None]
+            was_done = was_done[None]
         # slots admitted AFTER this frame was dispatched keep their mirror
         # (the frame predates them); the trash row is never live on the host
         fresh = self._admit_seq > seq
@@ -573,8 +625,9 @@ class ContinuousBatcher:
             req = self.slot_req[slot]
             if req is None or fresh[slot]:
                 continue
-            if not was_done[slot]:
-                self.chunks[req.rid].append(pcm_np[slot])
+            for j in range(pcm_np.shape[0]):
+                if not was_done[j, slot]:
+                    self.chunks[req.rid].append(pcm_np[j, slot])
             if done_np[slot]:
                 parts = self.chunks.pop(req.rid)
                 self.finished[req.rid] = Result(
@@ -588,13 +641,18 @@ class ContinuousBatcher:
 
     def step(self) -> int:
         """Admit + collect one frame for the pool. Returns #active streams."""
+        t = time.perf_counter
+        self.n_steps += 1
         if self._pending is not None and all(r is None for r in self.slot_req):
             pend, self._pending = self._pending, None
             self._collect(pend)  # flush a stale speculative frame
+        t0 = t()
         self._admit()
+        t1 = t()
         have_active = any(r is not None for r in self.slot_req)
         if self._pending is None:
             if not have_active:
+                self.phase_s["admit"] += t1 - t0
                 return 0
             self._maybe_compact()
             self._dispatch()
@@ -603,7 +661,13 @@ class ContinuousBatcher:
             # speculative next frame: overlaps the readback in _collect()
             self._maybe_compact()
             self._dispatch()
-        return self._collect(pend)
+        t2 = t()
+        out = self._collect(pend)
+        t3 = t()
+        self.phase_s["admit"] += t1 - t0
+        self.phase_s["dispatch"] += t2 - t1
+        self.phase_s["collect"] += t3 - t2
+        return out
 
     def drain(self, max_steps: int = 100000) -> Dict[int, Result]:
         steps = 0

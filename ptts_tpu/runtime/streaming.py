@@ -149,6 +149,78 @@ def fused_stream_step(
     return cache, mimi_state, x, pcm, eos, eos_step, done
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mcfg", "eos_enabled", "k", "flags", "emit_i16"),
+    donate_argnames=("cache", "mimi_state"),
+)
+def fused_stream_steps(
+    fw,
+    mw,
+    cache: flowlm.KVCache,
+    mimi_state,
+    x: jnp.ndarray,
+    noise_tab: jnp.ndarray,    # [B, F, latent] device-resident table
+    time_embs: jnp.ndarray,
+    frame_idx: jnp.ndarray,    # [B] int32
+    eos_step: jnp.ndarray,
+    done: jnp.ndarray,
+    cfg: FlowLMConfig,
+    mcfg,
+    eos_enabled: bool,
+    eos_threshold,             # [B]
+    eos_min_frames,            # [B]
+    eos_after: jnp.ndarray,    # [B]
+    max_frames: jnp.ndarray,   # [B]
+    num_steps: jnp.ndarray,    # [B]
+    k: int,
+    flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
+    emit_i16: bool = True,
+):
+    """K serving frames in ONE device program (lax.scan of the fused step).
+
+    Amortizes the per-dispatch host/RPC cost (the batcher's bottleneck on
+    remote-tunnel setups: one ~30 ms readback per 80 ms frame caps the pool
+    at a few hundred streams) over ``k`` frames: one dispatch + one PCM
+    readback yields ``k`` chunks per slot. Numerically identical to ``k``
+    sequential fused_stream_step calls (same jitted ops in the same order).
+
+    Returns (cache, mimi_state, x, pcm [k, B, samples], eos [k, B],
+    eos_step, done, was_done [k, B], frame_idx) where ``was_done[j]`` is the
+    pre-step done mask of frame j (chunk j of slot b is live iff
+    ``~was_done[j, b]``) and ``done`` after frame j is ``was_done[j+1]``
+    (final ``done`` for j = k-1).
+    """
+    from ..models import mimi_stream
+
+    def body(carry, _):
+        cache, mimi_state, x, frame_idx, eos_step, done = carry
+        was_done = done
+        fi = jnp.clip(frame_idx, 0, noise_tab.shape[1] - 1)
+        noise = jnp.take_along_axis(noise_tab, fi[:, None, None], axis=1)[:, 0]
+        cache, x, scaled, eos, eos_step, done = flow_frame_step(
+            fw, cache, x, noise, time_embs, frame_idx, eos_step, done,
+            cfg, eos_enabled, eos_threshold, eos_min_frames, eos_after,
+            max_frames, num_steps, flags,
+        )
+        mimi_state, pcm = mimi_stream.decode_stream(
+            mw, mimi_state, scaled[:, None, :], mcfg
+        )
+        if emit_i16:
+            pcm = quantize_i16_device(pcm)
+        return ((cache, mimi_state, x, frame_idx + 1, eos_step, done),
+                (pcm, eos, was_done))
+
+    (cache, mimi_state, x, frame_idx, eos_step, done), (pcm_k, eos_k, wd_k) = (
+        jax.lax.scan(
+            body, (cache, mimi_state, x, frame_idx, eos_step, done),
+            None, length=k,
+        )
+    )
+    return (cache, mimi_state, x, pcm_k, eos_k, eos_step, done, wd_k,
+            frame_idx)
+
+
 @dataclasses.dataclass
 class StreamChunk:
     pcm_i16: np.ndarray      # [B, frame_samples] int16 (device-quantized,

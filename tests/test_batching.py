@@ -78,6 +78,54 @@ def test_eos_frees_slots(ctx):
 
 
 @pytest.mark.slow
+def test_multi_frame_dispatch_matches_single(ctx):
+    """frames_per_step=3 (K fused frames per device dispatch, one readback
+    per K chunks) must reproduce the K=1 batcher and the offline engine:
+    same frame counts, same chunk routing across ragged EOS + slot reuse,
+    PCM equal to a few quantization LSB."""
+    def p(frames, seed):
+        return api.Params(num_frames=frames, num_steps=1, seed=seed,
+                          temp=0.4, eos_enabled=False)
+
+    # ragged lengths, more requests than slots, K does not divide lengths
+    specs = [("hello world", 7), ("how low", 2), ("hello hello", 5),
+             ("world world", 4)]
+
+    def run(k):
+        b = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=2,
+                              prefix_budget=32, frames_per_step=k)
+        rids = [b.submit(t, params=p(f, 70 + i))
+                for i, (t, f) in enumerate(specs)]
+        return rids, b.drain()
+
+    rids1, res1 = run(1)
+    rids3, res3 = run(3)
+    assert rids1 == rids3
+    for rid, (text, frames) in zip(rids1, specs):
+        assert res3[rid].frames == frames == res1[rid].frames, text
+        a = res1[rid].pcm_i16.astype(np.int32)
+        c = res3[rid].pcm_i16.astype(np.int32)
+        assert a.shape == c.shape, text
+        assert np.abs(a - c).max() <= 4, text  # jit-boundary fusion drift
+
+
+def test_multi_frame_dispatch_eos(ctx):
+    """Per-request EOS mid-K-window: the finished stream's tail frames inside
+    the same dispatch must not emit chunks, and the slot must be reused."""
+    p = api.Params(num_frames=6, num_steps=1, seed=2, temp=0.3,
+                   eos_enabled=True, eos_threshold=-1e9,
+                   eos_min_frames=2, eos_after=1)
+    b = ContinuousBatcher(ctx.engine, slots=1, max_len=96, admit_chunk=1,
+                          prefix_budget=32, frames_per_step=4)
+    r0 = b.submit("hello", params=p)
+    r1 = b.submit("world", params=p)
+    results = b.drain()
+    # eos at frame 1, stop after frame 2 -> 3 frames each (not 4 = K)
+    assert results[r0].frames == 3
+    assert results[r1].frames == 3
+
+
+@pytest.mark.slow
 def test_compaction_reclaims_finished_slots(ctx):
     """A stream that finished early must not pin the cursor: its dead decode
     span (start stays fixed while the shared cursor advances with live

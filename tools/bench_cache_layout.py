@@ -197,12 +197,14 @@ STEPS = {
 }
 
 
-def make_runner(layout, lw, cfg, B, Tmax, T0):
+def make_runner(layout, cfg, B, Tmax, T0):
     step = STEPS[layout]
 
+    # NB: weights are a jit ARGUMENT (PERF.md lesson #8 -- closing over them
+    # inlines the arrays as HLO constants and explodes compile time).
     @functools.partial(jax.jit, static_argnames=("n",),
-                       donate_argnums=(1, 2))
-    def run(x, k, v, cursor0, n):
+                       donate_argnums=(2, 3))
+    def run(lw, x, k, v, cursor0, n):
         t = jnp.arange(Tmax)[None, :]
 
         def body(i, carry):
@@ -245,6 +247,14 @@ def make_state(layout, cfg, B, Tmax, T0, dtype, seed=0):
 
 
 def main():
+    import os
+
+    cache_dir = os.environ.get("PTTS_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/ptts_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     Tmax = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     frames = int(sys.argv[3]) if len(sys.argv) > 3 else 50
@@ -258,14 +268,20 @@ def main():
     print(f"[layout] B={B} Tmax={Tmax} frames={frames} L={cfg.num_layers} "
           f"H={cfg.num_heads} D={cfg.head_dim} bf16", file=sys.stderr)
 
-    # correctness: every layout's final x must match the baseline
+    # correctness: every layout's final x must match the baseline.
+    # ONE compile per layout (n=frames); the chained-run slope comes from
+    # calling the SAME program 1x vs 3x back-to-back (data-dependent through
+    # x/k/v; cursor resets each call so the write pattern is identical).
     ref_x = None
     results = {}
     for layout in STEPS:
-        run = make_runner(layout, lw, cfg, B, Tmax, T0)
+        run = make_runner(layout, cfg, B, Tmax, T0)
         x, k, v, c0 = make_state(layout, cfg, B, Tmax, T0, dtype)
-        x1, _, _ = run(x, k, v, c0, 4)
+        t0 = time.perf_counter()
+        x1, k, v = run(lw, x, k, v, c0, frames)
         xv = np.asarray(x1, dtype=np.float32)
+        print(f"[layout] {layout:8s} compiled+ran in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
         if ref_x is None:
             ref_x = xv
         else:
@@ -273,18 +289,17 @@ def main():
             scale = float(np.max(np.abs(ref_x))) or 1.0
             assert md / scale < 2e-2, (layout, md, scale)
 
-        # timing: chained slope between n=frames and n=3*frames
-        def timed(n):
+        def timed(calls):
             x, k, v, c0 = make_state(layout, cfg, B, Tmax, T0, dtype)
             t0 = time.perf_counter()
-            xo, k, v = run(x, k, v, c0, n)
-            float(jnp.sum(xo.astype(jnp.float32)))  # host readback fence
+            for _ in range(calls):
+                x, k, v = run(lw, x, k, v, c0, frames)
+            float(jnp.sum(x.astype(jnp.float32)))  # host readback fence
             return time.perf_counter() - t0
 
-        timed(frames)          # compile n=frames
-        timed(3 * frames)      # compile n=3*frames
+        timed(1)  # warm dispatch path
         best = min(
-            (timed(3 * frames) - timed(frames)) / (2 * frames)
+            (timed(3) - timed(1)) / (2 * frames)
             for _ in range(3)
         )
         results[layout] = best * 1000.0
