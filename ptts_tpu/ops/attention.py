@@ -151,7 +151,12 @@ def decode_attention(
     *,
     context: int = 0,
 ) -> jnp.ndarray:
-    """decode_attention_masked with a per-stream-length (+ window) mask."""
+    """decode_attention_masked with a per-stream-length (+ window) mask.
+
+    Oracle cross-check variant: superseded in production by the
+    cursor-aligned mask built inside flowlm.decode_step; kept (and
+    exercised) only by tests/test_ops.py as an independent formulation.
+    """
     Tmax = k_cache.shape[1]
     t = jnp.arange(Tmax)[None, :]          # [1, T]
     mask = t < lengths[:, None]            # [B, T]

@@ -87,7 +87,13 @@ def convtr1d_causal(
     stride: int,
     groups: int = 1,
 ) -> jnp.ndarray:
-    """x: [B, T, Cin]; kernel: flipped WIO [k, in/g, out]. Returns [B, T*stride, Cout]."""
+    """x: [B, T, Cin]; kernel: flipped WIO [k, in/g, out]. Returns [B, T*stride, Cout].
+
+    Oracle cross-check variant (with prepare_convtr_kernel): production uses
+    convtr1d_2s's convtr-as-GEMM for every Mimi k=2s transposed conv; this
+    input-dilated lowering is kept only as the independent reference
+    formulation exercised by tests/test_ops.py.
+    """
     k = kernel.shape[0]
     y_full = jax.lax.conv_general_dilated(
         x,

@@ -50,6 +50,11 @@ def rope_rotate(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
     """Apply RoPE to q and k (interleaved-pair convention).
 
     q, k: [..., T, H, D]; positions: broadcastable to [..., T] int positions.
+
+    Oracle cross-check variant (with apply_rope): production permutes the
+    Q/K projection rows at load (permute_qk_rows_for_rope) and rotates
+    contiguous halves via rope_rotate_halves; the interleaved-pair form is
+    kept as the reference-layout formulation exercised by tests/test_ops.py.
     """
     head_dim = q.shape[-1]
     cos, sin = rope_cos_sin(positions, head_dim, max_period)
