@@ -218,16 +218,21 @@ def window_attention_qkv(
 
 def _causal_attn_qkv_kernel(
     len_ref,     # scalar prefetch [B] int32
-    qkv_ref,     # [BB, T, 3H, D]
+    qkv_ref,     # [BB, 3H, T, D] head-major
     cs_ref,      # [T, D] f32
     sn_ref,      # [T, D] f32
-    o_ref,       # [BB, T, H*D]
-    ok_ref,      # [BB, T, H*D] rotated K (for the KV cache)
+    o_ref,       # [BB, H, T, D]
+    ok_ref,      # [BB, H, T, D] rotated K (for the KV cache)
     *,
     seq_t: int,
     bb: int,
     num_heads: int,
 ):
+    # Head-major layout + BATCHED dot_generals: an earlier form of this
+    # kernel unrolled a Python loop over the 16 heads (16 tiny [T,T] dots
+    # per stream body) and cost 220-340 s of Mosaic compile -- the entire
+    # serving cold start (tools/bench_compile.py). With heads as a leading
+    # batch dim the whole stream body is 3 batched dots; compile is seconds.
     bidx = pl.program_id(0)
     T = seq_t
     H = num_heads
@@ -244,26 +249,31 @@ def _causal_attn_qkv_kernel(
 
     def stream(b, _):
         length = len_ref[bidx * bb + b]
-        valid = causal & (tk < length)
-        rot = _rot_heads(qkv_ref[b, :, : 2 * H, :], cs, sn, P)  # [T, 2H, D]
-        for h in range(H):
-            q = rot[:, h, :]
-            k = rot[:, H + h, :]
-            v = qkv_ref[b, :, 2 * H + h, :]
-            ok_ref[b, :, h * D : (h + 1) * D] = k.astype(ok_ref.dtype)
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            s = jnp.where(valid, s, NEG_INF)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            out = jax.lax.dot_general(
-                p.astype(dt), v, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) / jnp.maximum(l, 1e-30)
-            o_ref[b, :, h * D : (h + 1) * D] = out.astype(o_ref.dtype)
+        valid = causal & (tk < length)                          # [T, T]
+        # rotate q + k heads in one batched dot: [2H, T, D]
+        qk = qkv_ref[b, : 2 * H, :, :]
+        xs = jax.lax.dot_general(
+            qk, P, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rot = (qk.astype(jnp.float32) * cs[None] + xs * sn[None]).astype(dt)
+        q = rot[:H]                                             # [H, T, D]
+        k = rot[H:]
+        v = qkv_ref[b, 2 * H :, :, :]
+        ok_ref[b] = k.astype(ok_ref.dtype)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                               # [H, T, T]
+        s = jnp.where(valid[None], s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(dt), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / jnp.maximum(l, 1e-30)                               # [H, T, D]
+        o_ref[b] = out.astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, bb, stream, 0)
@@ -296,16 +306,19 @@ def causal_attention_qkv(
     bb = block_b
     while B % bb:
         bb //= 2
-    qkv4 = qkv.reshape(B, T, 3 * H, D)
+    # head-major [B, 3H, T, D]: heads become a leading batch dim inside the
+    # kernel (batched dots compile in seconds where a Python head loop cost
+    # minutes of Mosaic compile); XLA fuses this transpose into the producer
+    qkv4 = qkv.reshape(B, T, 3 * H, D).transpose(0, 2, 1, 3)
     cos64, sin64n = rope_tables64(T, D, max_period)
 
-    out_spec = pl.BlockSpec((bb, T, H * D), lambda b, *_: (b, 0, 0),
+    out_spec = pl.BlockSpec((bb, H, T, D), lambda b, *_: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // bb,),
         in_specs=[
-            pl.BlockSpec((bb, T, 3 * H, D), lambda b, *_: (b, 0, 0, 0),
+            pl.BlockSpec((bb, 3 * H, T, D), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, D), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -319,11 +332,12 @@ def causal_attention_qkv(
     out, k_rot = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, T, H * D), qkv.dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((B, H, T, D), qkv.dtype)] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), qkv4, jnp.asarray(cos64),
       jnp.asarray(sin64n))
-    return out, k_rot
+    back = lambda a: a.transpose(0, 2, 1, 3).reshape(B, T, H * D)  # noqa: E731
+    return back(out), back(k_rot)

@@ -201,49 +201,80 @@ def make_runner(layout, cfg, B, Tmax, T0):
     step = STEPS[layout]
 
     # NB: weights are a jit ARGUMENT (PERF.md lesson #8 -- closing over them
-    # inlines the arrays as HLO constants and explodes compile time).
-    @functools.partial(jax.jit, static_argnames=("n",),
-                       donate_argnums=(2, 3))
+    # inlines the arrays as HLO constants and explodes compile time) and the
+    # trip count is a TRACED scalar: with a static bound the TPU backend can
+    # fully unroll the loop (50 x 6-layer bodies) and the compile runs tens
+    # of minutes -- the production regime is generate_latents_while's
+    # dynamic-condition while_loop.
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
     def run(lw, x, k, v, cursor0, n):
         t = jnp.arange(Tmax)[None, :]
 
-        def body(i, carry):
+        def cond(carry):
+            x, k, v, cursor = carry
+            return cursor < cursor0 + n
+
+        def body(carry):
             x, k, v, cursor = carry
             mask = t <= cursor  # valid through the current write column
             pos = jnp.full((B,), 0, jnp.int32) + cursor
             x, k, v = step(lw, x, k, v, cursor, cfg, mask, pos)
             return x, k, v, cursor + 1
 
-        x, k, v, _ = jax.lax.fori_loop(0, n, body, (x, k, v, cursor0))
+        x, k, v, _ = jax.lax.while_loop(cond, body, (x, k, v, cursor0))
         return x, k, v
 
     return run
 
 
+_BASE: dict = {}
+
+
 def make_state(layout, cfg, B, Tmax, T0, dtype, seed=0):
-    rng = np.random.default_rng(seed)
+    """Fresh donatable device state for one timed run.
+
+    The random base is generated ONCE (f32 host RNG of the full-size cache is
+    minutes of single-core work -- regenerating it per timed call was the
+    tool's original bottleneck, not compile); per-layout device copies are
+    cached and each call returns device-side clones the runner may donate.
+    """
     L, H, D = cfg.num_layers, cfg.num_heads, cfg.head_dim
-    x = jnp.asarray(rng.standard_normal((B, cfg.d_model)) * 0.05, dtype)
-    k = rng.standard_normal((L, B, Tmax, H, D)) * 0.05
-    v = rng.standard_normal((L, B, Tmax, H, D)) * 0.05
-    k[:, :, T0:] = 0.0
-    v[:, :, T0:] = 0.0
-    if layout == "bthd":
-        kk, vv = jnp.asarray(k, dtype), jnp.asarray(v, dtype)
-    elif layout == "bt_flat":
-        kk = jnp.asarray(k.reshape(L, B, Tmax, H * D), dtype)
-        vv = jnp.asarray(v.reshape(L, B, Tmax, H * D), dtype)
-    elif layout == "tb_flat":
-        kk = jnp.asarray(k.transpose(0, 2, 1, 3, 4).reshape(L, Tmax, B, H * D),
-                         dtype)
-        vv = jnp.asarray(v.transpose(0, 2, 1, 3, 4).reshape(L, Tmax, B, H * D),
-                         dtype)
-    elif layout == "unroll":
-        kk = tuple(jnp.asarray(k[l], dtype) for l in range(L))
-        vv = tuple(jnp.asarray(v[l], dtype) for l in range(L))
-    else:
-        raise ValueError(layout)
-    return x, kk, vv, jnp.asarray(T0, jnp.int32)
+    if "np" not in _BASE:
+        rng = np.random.default_rng(seed)
+        shape = (L, B, Tmax, H, D)
+        k = (rng.standard_normal(shape, dtype=np.float32) * 0.05)
+        v = (rng.standard_normal(shape, dtype=np.float32) * 0.05)
+        k[:, :, T0:] = 0.0
+        v[:, :, T0:] = 0.0
+        x = (rng.standard_normal((B, cfg.d_model), dtype=np.float32) * 0.05)
+        _BASE["np"] = (x, k, v)
+    if layout not in _BASE:
+        x, k, v = _BASE["np"]
+        if layout == "bthd":
+            kk, vv = jnp.asarray(k, dtype), jnp.asarray(v, dtype)
+        elif layout == "bt_flat":
+            kk = jnp.asarray(k.reshape(L, B, Tmax, H * D), dtype)
+            vv = jnp.asarray(v.reshape(L, B, Tmax, H * D), dtype)
+        elif layout == "tb_flat":
+            kk = jnp.asarray(
+                k.transpose(0, 2, 1, 3, 4).reshape(L, Tmax, B, H * D), dtype)
+            vv = jnp.asarray(
+                v.transpose(0, 2, 1, 3, 4).reshape(L, Tmax, B, H * D), dtype)
+        elif layout == "unroll":
+            kk = tuple(jnp.asarray(k[l], dtype) for l in range(L))
+            vv = tuple(jnp.asarray(v[l], dtype) for l in range(L))
+        else:
+            raise ValueError(layout)
+        _BASE[layout] = (jnp.asarray(x, dtype), kk, vv)
+    xd, kd, vd = _BASE[layout]
+    clone = lambda t: t + jnp.zeros((), t.dtype)  # noqa: E731
+    return (clone(xd), jax.tree.map(clone, kd), jax.tree.map(clone, vd),
+            jnp.asarray(T0, jnp.int32))
+
+
+def drop_layout_state(layout) -> None:
+    """Free a finished layout's cached device arrays."""
+    _BASE.pop(layout, None)
 
 
 def main():
@@ -268,17 +299,22 @@ def main():
     print(f"[layout] B={B} Tmax={Tmax} frames={frames} L={cfg.num_layers} "
           f"H={cfg.num_heads} D={cfg.head_dim} bf16", file=sys.stderr)
 
-    # correctness: every layout's final x must match the baseline.
-    # ONE compile per layout (n=frames); the chained-run slope comes from
-    # calling the SAME program 1x vs 3x back-to-back (data-dependent through
-    # x/k/v; cursor resets each call so the write pattern is identical).
+    # correctness: every layout's final x must match the baseline. Checked at
+    # a SHORT horizon (4 frames): the random-weight transformer amplifies
+    # activations ~5x/frame, so after 50 frames bf16 rounding-order noise
+    # diverges chaotically across layouts even though the math is identical.
+    # ONE compile per layout (n is traced, so the check reuses the timing
+    # program); the chained-run slope comes from calling the SAME program 1x
+    # vs 3x back-to-back (data-dependent through x/k/v; cursor resets each
+    # call so the write pattern is identical).
+    n_check = 4
     ref_x = None
     results = {}
     for layout in STEPS:
         run = make_runner(layout, cfg, B, Tmax, T0)
         x, k, v, c0 = make_state(layout, cfg, B, Tmax, T0, dtype)
         t0 = time.perf_counter()
-        x1, k, v = run(lw, x, k, v, c0, frames)
+        x1, k, v = run(lw, x, k, v, c0, jnp.asarray(n_check, jnp.int32))
         xv = np.asarray(x1, dtype=np.float32)
         print(f"[layout] {layout:8s} compiled+ran in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -291,9 +327,10 @@ def main():
 
         def timed(calls):
             x, k, v, c0 = make_state(layout, cfg, B, Tmax, T0, dtype)
+            n = jnp.asarray(frames, jnp.int32)
             t0 = time.perf_counter()
             for _ in range(calls):
-                x, k, v = run(lw, x, k, v, c0, frames)
+                x, k, v = run(lw, x, k, v, c0, n)
             float(jnp.sum(x.astype(jnp.float32)))  # host readback fence
             return time.perf_counter() - t0
 
@@ -305,6 +342,7 @@ def main():
         results[layout] = best * 1000.0
         print(f"[layout] {layout:8s}: {best * 1e3:.3f} ms/frame",
               file=sys.stderr)
+        drop_layout_state(layout)
 
     base = results["bthd"]
     for layout, ms in sorted(results.items(), key=lambda kv: kv[1]):

@@ -65,6 +65,22 @@ def main() -> None:
         print(f"[compile] {label:28s} {dt:8.1f} s", file=sys.stderr)
         return out
 
+    # 0. the bare Pallas prefill kernel (attributes Mosaic compile time
+    # separately from the surrounding 6-layer prefill program)
+    if pimpl == "pallas":
+        from ptts_tpu.ops.pallas.fused_attention import causal_attention_qkv
+
+        qkv = jnp.asarray(
+            rng.standard_normal((B, T0, 3 * cfg.d_model)) * 0.02, dtype)
+
+        def run_kernel():
+            out, k_rot = causal_attention_qkv(
+                qkv, lengths, num_heads=cfg.num_heads, head_dim=cfg.head_dim,
+                max_period=cfg.max_period)
+            fence(out[:1, :1, :8])
+
+        timed("causal_attention_qkv alone", run_kernel)
+
     # 1. prefill (Pallas fused QKV kernel on TPU)
     def run_prefill():
         cache, x0 = flowlm.prefill_init(fw, prefix, lengths, cfg, max_len,
@@ -73,6 +89,14 @@ def main() -> None:
         return cache, x0
 
     cache, x0 = timed(f"prefill_init[{pimpl}]", run_prefill)
+
+    # 1b. the XLA-path prefill for comparison
+    def run_prefill_xla():
+        cache, x0 = flowlm.prefill_init(fw, prefix, lengths, cfg, max_len,
+                                        "xla")
+        fence(x0)
+
+    timed("prefill_init[xla]", run_prefill_xla)
 
     # 2. AR while_loop with full EOS bookkeeping (the serving generator)
     def run_while():
