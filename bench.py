@@ -209,21 +209,29 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                                 fw=fw, mw=mw, flags=KernelFlags())
 
     T0 = 64
-    b = ContinuousBatcher(eng, slots=slots, max_len=256, admit_chunk=16,
+    b = ContinuousBatcher(eng, slots=slots, max_len=256, admit_chunk=32,
                           prefix_budget=T0, max_num_steps=1,
                           frames_per_step=frames_per_step)
     rng = np.random.default_rng(0)
+    # ids admission path (the production prepare() route): one voice cond
+    # cached on device, each request ships token ids only -- a host-built
+    # [64, 1024] prefix upload per request was the admission bottleneck
+    # through the tunnel (PERF.md round 3)
+    cond = (rng.standard_normal((40, cfg.d_model)) * 0.02).astype(np.float32)
+    vidx = b.register_voice("bench", cond)
+    assert vidx >= 0
     admit_t = {}          # rid -> time the batcher placed it in a slot
     first_chunk_ms = []   # admission -> first 80 ms chunk read back
     pending_first = set()
 
     def make_req():
         frames = int(rng.integers(10, 51))
-        prefix = (rng.standard_normal((T0, cfg.d_model)) * 0.02).astype(np.float32)
+        ids = rng.integers(1, cfg.vocab, size=int(rng.integers(4, 21)))
         noise = (rng.standard_normal((frames, cfg.latent_dim)) * 0.8).astype(np.float32)
-        req = Request(rid=-1, prefix=prefix, noise=noise, max_frames=frames,
+        req = Request(rid=-1, prefix=None, noise=noise, max_frames=frames,
                       eos_after=0, num_steps=1,
-                      eos_threshold=np.float32(1e30), eos_min_frames=1)
+                      eos_threshold=np.float32(1e30), eos_min_frames=1,
+                      ids=ids.astype(np.int32), voice_idx=vidx)
         with b._rid_lock:
             req.rid = b._next_rid
             b._next_rid += 1
@@ -237,11 +245,14 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
             b.enqueue(req)
             pending_first.add(req.rid)
 
-    def note_admissions():
-        now = time.perf_counter()
+    def note_admissions(when):
+        # ``when`` is the START of the step that performed the admission:
+        # a request admitted at the top of step() can have its first chunk
+        # read back within that same step (serial loop), so stamping it
+        # after step() returns would under-report the latency as ~0
         for req in b.slot_req:
             if req is not None and req.rid not in admit_t:
-                admit_t[req.rid] = now
+                admit_t[req.rid] = when
 
     def note_first_chunks():
         # admission -> first-chunk latency (queue wait under closed-loop
@@ -276,8 +287,9 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
     t0 = time.perf_counter()
     while finished < target_finished:
         top_up()
+        t_step = time.perf_counter()
         b.step()
-        note_admissions()
+        note_admissions(t_step)
         note_first_chunks()
         if b.finished:
             for r, res in list(b.finished.items()):
@@ -339,7 +351,7 @@ def main() -> int:
     try:
         bslots = int(os.environ.get("PTTS_BENCH_BATCHER_SLOTS", str(b)))
         breqs = int(os.environ.get("PTTS_BENCH_BATCHER_REQS", "1200"))
-        bfps = int(os.environ.get("PTTS_BENCH_FPS", "4"))
+        bfps = int(os.environ.get("PTTS_BENCH_FPS", "8"))
         streams_b, p50_b, fin_b, wall_b = run_batcher_bench(
             bslots, dtype, breqs, frames_per_step=bfps)
         result["detail"]["sustained_batcher_streams"] = round(streams_b, 2)

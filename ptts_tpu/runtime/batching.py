@@ -85,7 +85,9 @@ class _QueueView:
 @dataclasses.dataclass
 class Request:
     rid: int
-    prefix: np.ndarray          # [T0, d_model]
+    prefix: Optional[np.ndarray]  # [T0, d_model] host-assembled prompt, or
+    #                               None when (ids, voice_idx) carry the
+    #                               prompt for device-side construction
     noise: np.ndarray           # [max_frames, latent]
     max_frames: int
     eos_after: int
@@ -94,6 +96,11 @@ class Request:
     num_steps: int = 1
     eos_threshold: float = 1e30   # +inf == EOS disabled for this stream
     eos_min_frames: int = 1
+    # device-build admission path (admit_slots_ids): token ids + a row of
+    # the batcher's voice-cond bank; ~100 bytes over the wire instead of a
+    # ~128 KB embedding matrix
+    ids: Optional[np.ndarray] = None   # int32, already clamped to vocab
+    voice_idx: int = -1
 
 
 @dataclasses.dataclass
@@ -109,37 +116,12 @@ class Result:
         return self.pcm_i16.astype(np.float32) / np.float32(32767.0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "flags"),
-    # only the big buffers are donated: the [B1]-scalar state (done,
-    # eos_step, frame_idx) and x_all stay un-donated because the in-flight
-    # pipelined frame (ContinuousBatcher._pending) still references them
-    # when an admission lands between its dispatch and its collection
-    donate_argnames=("cache", "mimi_state", "time_embs", "noise_tab"),
-)
-def admit_slots(
-    w,
-    cache: flowlm.KVCache,
-    x_all: jnp.ndarray,         # [B1, d]
-    eos_step: jnp.ndarray,      # [B1]
-    done: jnp.ndarray,          # [B1]
-    frame_idx: jnp.ndarray,     # [B1]
-    mimi_state,
-    time_embs: jnp.ndarray,     # [B1, S_max, flow_dim] per-slot Euler tables
-    noise_tab: jnp.ndarray,     # [B1, F_max, latent] per-slot noise tables
-    slot_ids: jnp.ndarray,      # [n] target rows (trash row for padding)
-    prefix: jnp.ndarray,        # [n, T0, d] back-padded prompts
-    lengths: jnp.ndarray,       # [n]
-    te_rows: jnp.ndarray,       # [n, S_max, flow_dim] new slots' tables
-    noise_rows: jnp.ndarray,    # [n, F_max, latent] new slots' noise
-    cfg: FlowLMConfig,
-    flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
+def _admit_core(
+    w, cache, x_all, eos_step, done, frame_idx, mimi_state, time_embs,
+    noise_tab, params, slot_ids, prefix, lengths, te_rows, noise_rows,
+    new_params, cfg, flags,
 ):
-    """Prefill n new prompts and scatter their state into the pool rows.
-
-    New prompts' K/V go to prefix columns [0, T0); their decode region begins
-    at the current shared cursor (cache.start[slot] = cache.cursor).
-    """
+    """Shared admission body: prefill n prompts, scatter state + params."""
     n, T0, d = prefix.shape
     k_new, v_new, last = flowlm.prefill_kv(w, prefix, lengths, cfg, flags=flags)
 
@@ -159,6 +141,17 @@ def admit_slots(
     time_embs = time_embs.at[slot_ids].set(te_rows.astype(time_embs.dtype))
     noise_tab = noise_tab.at[slot_ids].set(noise_rows.astype(noise_tab.dtype))
 
+    # per-slot generation params updated ON DEVICE: five host re-uploads per
+    # admit group were five tunnel RPCs apiece on remote setups
+    eos_threshold, eos_min_frames, eos_after, max_frames, num_steps = params
+    params = (
+        eos_threshold.at[slot_ids].set(new_params[0]),
+        eos_min_frames.at[slot_ids].set(new_params[1].astype(jnp.int32)),
+        eos_after.at[slot_ids].set(new_params[2].astype(jnp.int32)),
+        max_frames.at[slot_ids].set(new_params[3].astype(jnp.int32)),
+        num_steps.at[slot_ids].set(new_params[4].astype(jnp.int32)),
+    )
+
     mimi_state = {
         "up": mimi_state["up"].at[slot_ids].set(0.0),
         "ring": {
@@ -174,7 +167,118 @@ def admit_slots(
         "dec_out": mimi_state["dec_out"].at[slot_ids].set(0.0),
     }
     return (cache, x_all, eos_step, done, frame_idx, mimi_state, time_embs,
-            noise_tab)
+            noise_tab, params)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "flags"),
+    # only the big buffers are donated: the [B1]-scalar state (done,
+    # eos_step, frame_idx) and x_all stay un-donated because the in-flight
+    # pipelined frame (ContinuousBatcher._pending) still references them
+    # when an admission lands between its dispatch and its collection
+    # (params ARE donatable: dispatches read but never retain them)
+    donate_argnames=("cache", "mimi_state", "time_embs", "noise_tab",
+                     "params"),
+)
+def admit_slots(
+    w,
+    cache: flowlm.KVCache,
+    x_all: jnp.ndarray,         # [B1, d]
+    eos_step: jnp.ndarray,      # [B1]
+    done: jnp.ndarray,          # [B1]
+    frame_idx: jnp.ndarray,     # [B1]
+    mimi_state,
+    time_embs: jnp.ndarray,     # [B1, S_max, flow_dim] per-slot Euler tables
+    noise_tab: jnp.ndarray,     # [B1, F_max, latent] per-slot noise tables
+    params,                     # 5-tuple of [B1] per-slot generation params
+    slot_ids: jnp.ndarray,      # [n] target rows (trash row for padding)
+    prefix: jnp.ndarray,        # [n, T0, d] back-padded prompts
+    lengths: jnp.ndarray,       # [n]
+    te_rows: jnp.ndarray,       # [n, S_max, flow_dim] new slots' tables
+    noise_rows: jnp.ndarray,    # [n, F_max, latent] new slots' noise
+    new_params: jnp.ndarray,    # [5, n] f32 packed per-request params
+    cfg: FlowLMConfig,
+    flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
+):
+    """Prefill n new prompts and scatter their state into the pool rows.
+
+    New prompts' K/V go to prefix columns [0, T0); their decode region begins
+    at the current shared cursor (cache.start[slot] = cache.cursor).
+    """
+    return _admit_core(w, cache, x_all, eos_step, done, frame_idx, mimi_state,
+                       time_embs, noise_tab, params, slot_ids, prefix,
+                       lengths, te_rows, noise_rows, new_params, cfg, flags)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "flags", "prefix_budget"),
+    donate_argnames=("cache", "mimi_state", "time_embs", "noise_tab",
+                     "params"),
+)
+def admit_slots_ids(
+    w,
+    cache: flowlm.KVCache,
+    x_all: jnp.ndarray,
+    eos_step: jnp.ndarray,
+    done: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    mimi_state,
+    time_embs: jnp.ndarray,
+    noise_tab: jnp.ndarray,
+    params,
+    slot_ids: jnp.ndarray,      # [n]
+    ids: jnp.ndarray,           # [n, Tt] int32 token ids (0-padded)
+    n_tokens: jnp.ndarray,      # [n] int32
+    cond_idx: jnp.ndarray,      # [n] int32 rows of the voice-cond bank
+    cond_bank: jnp.ndarray,     # [Vcap, Tc, d] device-cached voice conds
+    cond_len: jnp.ndarray,      # [Vcap] int32
+    te_rows: jnp.ndarray,
+    noise_rows: jnp.ndarray,
+    new_params: jnp.ndarray,    # [5, n]
+    prefix_budget: int,
+    cfg: FlowLMConfig,
+    flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
+):
+    """Admission from TOKEN IDS: the prompt embedding matrix is built ON
+    DEVICE (engine._build_prefix semantics, ptts_flowlm.c:1159-1185:
+    voice-cond frames + text-embedding rows + projected BOS).
+
+    A host-assembled [T0, d_model] prefix is ~128 KB/request over the wire;
+    ids + a bank index are ~100 bytes. On remote-tunnel serving the prefix
+    upload was the admission bottleneck (PERF.md round 3)."""
+    n, Tt = ids.shape
+    T0 = prefix_budget
+    Tc = cond_bank.shape[1]
+
+    c = cond_len[cond_idx]                                   # [n]
+    p = jnp.arange(T0)[None, :]                              # [1, T0]
+
+    # cond occupies columns [0, c): bank rows are already column-aligned
+    cond_part = jnp.pad(cond_bank[cond_idx], ((0, 0), (0, T0 - Tc), (0, 0)))
+
+    # tokens occupy [c, c+t): column p reads ids[j, p - c]
+    tok_col = jnp.clip(p - c[:, None], 0, Tt - 1)            # [n, T0]
+    tok_ids = jnp.take_along_axis(ids, tok_col, axis=1)      # [n, T0]
+    tok_part = jnp.take(w["embed"], tok_ids, axis=0)         # [n, T0, d]
+
+    # projected BOS at column c+t (f32 accumulation like the host builder)
+    bos = jnp.einsum("i,oi->o", w["bos_emb"], w["input_linear"],
+                     preferred_element_type=jnp.float32)     # [d]
+    bos = bos.astype(cond_bank.dtype)
+
+    col = p[:, :, None]                                      # [1, T0, 1]
+    ct = c[:, None, None]
+    tt = (c + n_tokens)[:, None, None]
+    prefix = jnp.where(
+        col < ct, cond_part,
+        jnp.where(col < tt, tok_part,
+                  jnp.where(col == tt, bos[None, None, :], 0.0)),
+    ).astype(cond_bank.dtype)
+    lengths = (c + n_tokens + 1).astype(jnp.int32)
+
+    return _admit_core(w, cache, x_all, eos_step, done, frame_idx, mimi_state,
+                       time_embs, noise_tab, params, slot_ids, prefix,
+                       lengths, te_rows, noise_rows, new_params, cfg, flags)
 
 
 @functools.partial(jax.jit, static_argnames=("prefix_budget",),
@@ -192,23 +296,39 @@ def compact_cache(cache: flowlm.KVCache, done: jnp.ndarray,
     ``done`` [B] marks finished (or never-used) slots: their dead decode span
     is reclaimed (n_b = 0), so a long-finished stream can't pin new_cursor at
     the old cursor and defeat compaction.
+
+    The move is ONE-HOT MATMUL, not a gather: a take_along_axis over the
+    full [L, B, T, H, D] cache lowers to a per-element gather that measured
+    15.2 s per compaction on v5e (~170 MB/s effective). A per-stream
+    [W, W] permutation matrix contracted on the MXU moves the same bytes in
+    ~10 ms and is exact (each output column receives exactly one value
+    weighted 1.0; f32 accumulation of a single product is lossless).
+    Columns of the decode region outside [new_start, new_cursor) zero out --
+    they are invalid under the validity invariant, so attention never reads
+    them.
     """
     L, B, Tmax, H, D = cache.k.shape
+    T0 = prefix_budget
+    W = Tmax - T0
     # decode cols per stream; finished slots contribute nothing
     n = jnp.where(done, 0, cache.cursor - cache.start)
-    new_cursor = prefix_budget + jnp.max(n)
+    new_cursor = T0 + jnp.max(n)
     new_start = new_cursor - n                        # [B]
 
-    t = jnp.arange(Tmax)[None, :]                     # [1, T]
-    src = t - new_start[:, None] + cache.start[:, None]
-    in_decode = (t >= new_start[:, None]) & (t < new_cursor)
-    src = jnp.where(in_decode, src, t)                # identity elsewhere
-    src = jnp.clip(src, 0, Tmax - 1)
+    shift = (new_start - cache.start)[:, None, None]  # [B, 1, 1] (either sign)
+    s = jnp.arange(W)[None, :, None]                  # source col (rel T0)
+    d = jnp.arange(W)[None, None, :]                  # dest col (rel T0)
+    ns = (new_start - T0)[:, None, None]
+    perm = ((d - s == shift) & (d >= ns) & (d < ns + n[:, None, None]))
 
-    idx = src[None, :, :, None, None]
-    k = jnp.take_along_axis(cache.k, jnp.broadcast_to(idx, cache.k.shape), axis=2)
-    v = jnp.take_along_axis(cache.v, jnp.broadcast_to(idx, cache.v.shape), axis=2)
-    return cache._replace(k=k, v=v, start=new_start, cursor=new_cursor)
+    def move(c):
+        dec = jnp.einsum("lbwhd,bwx->lbxhd", c[:, :, T0:],
+                         perm.astype(c.dtype),
+                         preferred_element_type=jnp.float32).astype(c.dtype)
+        return c.at[:, :, T0:].set(dec)
+
+    return cache._replace(k=move(cache.k), v=move(cache.v),
+                          start=new_start, cursor=new_cursor)
 
 
 class ContinuousBatcher:
@@ -226,11 +346,18 @@ class ContinuousBatcher:
     functions are unchanged -- shardings ride in on the arrays and GSPMD
     partitions the same programs."""
 
+    # pipeline=False by default: PCM leaves the device via an async copy
+    # started at dispatch (copy_to_host_async), so the speculative
+    # double-buffered frame no longer hides any readback -- it just piles an
+    # extra program onto the device queue ahead of the next admission's
+    # uploads (measured 2.4x slower sustained through the remote tunnel,
+    # PERF.md round 3). pipeline=True remains available and equality-tested.
     def __init__(self, engine, slots: int = 32, max_len: int = 512,
                  admit_chunk: int = 8, prefix_budget: int = 128,
-                 max_num_steps: int = 8, pipeline: bool = True,
+                 max_num_steps: int = 8, pipeline: bool = False,
                  noise_budget: int = 0, mesh=None,
-                 frames_per_step: int = 1):
+                 frames_per_step: int = 1, voice_cap: int = 8,
+                 cond_budget: int = 0):
         self.engine = engine
         self.cfg = engine.flowlm_cfg
         self.slots = slots
@@ -321,6 +448,17 @@ class ContinuousBatcher:
             self.noise_tab = self._put_b(self.noise_tab)
         self._te_cache: Dict[int, np.ndarray] = {}  # num_steps -> padded row
 
+        # device voice-cond bank for the ids admission path (admit_slots_ids):
+        # a voice's conditioning frames upload ONCE, then every request for
+        # it ships only token ids + a bank row index
+        self.voice_cap = voice_cap
+        self.cond_budget = cond_budget or max(prefix_budget - 2, 1)
+        assert self.cond_budget < prefix_budget
+        self.cond_bank = self._put_rep(
+            jnp.zeros((voice_cap, self.cond_budget, cfg.d_model), dt))
+        self.cond_len = self._put_rep(jnp.zeros((voice_cap,), jnp.int32))
+        self._voice_idx: Dict[str, int] = {}
+
         # row-indexed; only rows in slot_rows ever hold a request
         self.slot_req: List[Optional[Request]] = [None] * self.B1
         self.queues: List[deque] = [deque() for _ in range(self.n_hosts)]
@@ -366,7 +504,8 @@ class ContinuousBatcher:
     # -- device placement ------------------------------------------------------
 
     def _refresh_params_dev(self) -> None:
-        """Re-upload the per-slot generation params (admission-time only)."""
+        """Full upload of the per-slot generation params (init/recovery only;
+        steady-state admissions scatter params on device in admit_slots*)."""
         self._params_dev = (
             self._put_b(self._eos_threshold),
             self._put_b(self._eos_min_frames),
@@ -374,6 +513,27 @@ class ContinuousBatcher:
             self._put_b(self._max_frames),
             self._put_b(self._num_steps),
         )
+
+    def register_voice(self, name: str, cond: Optional[np.ndarray]) -> int:
+        """Cache a voice's conditioning frames in the device bank; returns the
+        bank row, or -1 if the bank is full / the cond doesn't fit (callers
+        fall back to the host-assembled prefix path)."""
+        idx = self._voice_idx.get(name)
+        if idx is not None:
+            return idx
+        n = 0 if cond is None else len(cond)
+        if len(self._voice_idx) >= self.voice_cap or n > self.cond_budget:
+            return -1
+        idx = len(self._voice_idx)
+        if n:
+            row = np.zeros((self.cond_budget, self.cfg.d_model), np.float32)
+            row[:n] = cond
+            self.cond_bank = self._put_rep(
+                self.cond_bank.at[idx, :].set(
+                    jnp.asarray(row, self.cond_bank.dtype)))
+        self.cond_len = self._put_rep(self.cond_len.at[idx].set(n))
+        self._voice_idx[name] = idx
+        return idx
 
     def _put_b(self, x, batch_dim: int = 0):
         """Place a per-slot array ([..., B1, ...]) sharded on the slot axis."""
@@ -410,10 +570,25 @@ class ContinuousBatcher:
         prepared, wc, eos_after_guess = prepare_text(text)
         ids = self.engine.ctx.tokenize(prepared)
         cond, _ = self.engine._voice_cond(voice)
-        prefix = self.engine._build_prefix(ids, cond)
-        if len(prefix) > self.prefix_budget:
+        # ids admission path: ship token ids + a voice-bank row instead of a
+        # host-assembled [T0, d] embedding matrix (admit_slots_ids builds it
+        # on device); falls back to the host prefix if the bank is full
+        vidx = self.register_voice(voice or "alba", cond)
+        n_cond = 0 if cond is None else len(cond)
+        prefix = None
+        ids_np = None
+        if vidx >= 0 and len(ids) <= self.prefix_budget:
+            v = self.cfg.vocab + 1
+            ids_np = np.asarray(ids, np.int64)
+            ids_np = np.where((ids_np < 0) | (ids_np >= v), 0,
+                              ids_np).astype(np.int32)
+            need = n_cond + len(ids_np) + 1
+        else:
+            prefix = self.engine._build_prefix(ids, cond)
+            need = len(prefix)
+        if need > self.prefix_budget:
             raise api.PttsError(
-                f"prompt needs {len(prefix)} prefix columns > budget "
+                f"prompt needs {need} prefix columns > budget "
                 f"{self.prefix_budget}"
             )
         max_frames = p.num_frames if p.num_frames > 0 else estimate_frames(wc)
@@ -437,6 +612,8 @@ class ContinuousBatcher:
             eos_threshold=(p.eos_threshold if p.eos_enabled
                            else np.float32(1e30)),
             eos_min_frames=p.eos_min_frames,
+            ids=ids_np,
+            voice_idx=vidx,
         )
 
     def _route_host(self) -> int:
@@ -496,47 +673,110 @@ class ContinuousBatcher:
 
     def _admit_group(self, group: List[Tuple[int, Request]],
                      trash_row: int) -> None:
-            n = self.admit_chunk
-            T0 = self.prefix_budget
-            prefix = np.zeros((n, T0, self.cfg.d_model), np.float32)
-            lengths = np.ones(n, np.int32)
-            slot_ids = np.full(n, trash_row, np.int32)
-            te_rows = np.zeros((n, self.max_num_steps, self.cfg.flow_dim),
-                               np.float32)
-            noise_rows = np.zeros((n, self.noise_budget, self.cfg.latent_dim),
-                                  np.float32)
-            for j, (slot, req) in enumerate(group):
-                prefix[j, : len(req.prefix)] = req.prefix
-                lengths[j] = len(req.prefix)
-                slot_ids[j] = slot
-                te_rows[j] = self._te_row(req.num_steps)
-                noise_rows[j, : len(req.noise)] = req.noise
-                self.slot_req[slot] = req
-                self._eos_after[slot] = req.eos_after
-                self._max_frames[slot] = req.max_frames
-                self._num_steps[slot] = req.num_steps
-                self._eos_threshold[slot] = req.eos_threshold
-                self._eos_min_frames[slot] = req.eos_min_frames
-                # host mirrors (see __init__): slot becomes live for every
-                # dispatch with seq >= the current counter
-                self._start_np[slot] = self._cursor_np
-                self._frame_np[slot] = 0
-                self._done_np[slot] = False
-                self._admit_seq[slot] = self._seq
-            self._refresh_params_dev()
-            self.n_admit_groups += 1
+        by_ids = [g for g in group if g[1].ids is not None]
+        by_prefix = [g for g in group if g[1].ids is None]
+        if by_ids:
+            self._admit_group_ids(by_ids, trash_row)
+        if by_prefix:
+            self._admit_group_prefix(by_prefix, trash_row)
+        # fence the admission before the next frame dispatch: leaving the
+        # admit program outstanding while the frame step (which consumes its
+        # donated outputs) queues behind it measured ~2x slower steps on
+        # remote-tunnel runtimes (PERF.md round 3); the read is 4 slots of
+        # eos_step (an admit output), microseconds once admit has finished
+        np.asarray(self.eos_step[:4])
 
-            (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
-             self.mimi_state, self.time_embs, self.noise_tab) = admit_slots(
-                self.engine.fw, self.cache, self.x, self.eos_step, self.done,
-                self.frame_idx, self.mimi_state, self.time_embs,
-                self.noise_tab,
-                self._put_rep(slot_ids),
-                self._put_rep(prefix, self.engine.dtype),
-                self._put_rep(lengths), self._put_rep(te_rows),
-                self._put_rep(noise_rows, self.engine.dtype), self.cfg,
-                flags=self.engine.flags,
-            )
+    def _admit_bookkeep(self, group, trash_row):
+        """Shared per-group host bookkeeping; returns the padded admission
+        arrays every path uploads (slots, Euler tables, noise, params)."""
+        n = self.admit_chunk
+        slot_ids = np.full(n, trash_row, np.int32)
+        te_rows = np.zeros((n, self.max_num_steps, self.cfg.flow_dim),
+                           np.float32)
+        noise_rows = np.zeros((n, self.noise_budget, self.cfg.latent_dim),
+                              np.float32)
+        # packed [5, n] f32 (ints < 2^24, exact): one upload instead of five
+        new_params = np.zeros((5, n), np.float32)
+        new_params[0] = 1e30
+        new_params[1] = 1
+        new_params[3] = 1
+        new_params[4] = 1
+        for j, (slot, req) in enumerate(group):
+            slot_ids[j] = slot
+            te_rows[j] = self._te_row(req.num_steps)
+            noise_rows[j, : len(req.noise)] = req.noise
+            new_params[:, j] = (req.eos_threshold, req.eos_min_frames,
+                                req.eos_after, req.max_frames, req.num_steps)
+            self.slot_req[slot] = req
+            self._eos_after[slot] = req.eos_after
+            self._max_frames[slot] = req.max_frames
+            self._num_steps[slot] = req.num_steps
+            self._eos_threshold[slot] = req.eos_threshold
+            self._eos_min_frames[slot] = req.eos_min_frames
+            # host mirrors (see __init__): slot becomes live for every
+            # dispatch with seq >= the current counter
+            self._start_np[slot] = self._cursor_np
+            self._frame_np[slot] = 0
+            self._done_np[slot] = False
+            self._admit_seq[slot] = self._seq
+        self.n_admit_groups += 1
+        return slot_ids, te_rows, noise_rows, new_params
+
+    def _admit_group_prefix(self, group: List[Tuple[int, Request]],
+                            trash_row: int) -> None:
+        n = self.admit_chunk
+        T0 = self.prefix_budget
+        slot_ids, te_rows, noise_rows, new_params = self._admit_bookkeep(
+            group, trash_row)
+        prefix = np.zeros((n, T0, self.cfg.d_model), np.float32)
+        lengths = np.ones(n, np.int32)
+        for j, (_, req) in enumerate(group):
+            prefix[j, : len(req.prefix)] = req.prefix
+            lengths[j] = len(req.prefix)
+
+        (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
+         self.mimi_state, self.time_embs, self.noise_tab,
+         self._params_dev) = admit_slots(
+            self.engine.fw, self.cache, self.x, self.eos_step, self.done,
+            self.frame_idx, self.mimi_state, self.time_embs,
+            self.noise_tab, self._params_dev,
+            self._put_rep(slot_ids),
+            self._put_rep(prefix, self.engine.dtype),
+            self._put_rep(lengths), self._put_rep(te_rows),
+            self._put_rep(noise_rows, self.engine.dtype),
+            self._put_rep(new_params), self.cfg,
+            flags=self.engine.flags,
+        )
+
+    def _admit_group_ids(self, group: List[Tuple[int, Request]],
+                         trash_row: int) -> None:
+        n = self.admit_chunk
+        Tt = self.prefix_budget
+        slot_ids, te_rows, noise_rows, new_params = self._admit_bookkeep(
+            group, trash_row)
+        ids = np.zeros((n, Tt), np.int32)
+        n_tokens = np.zeros(n, np.int32)
+        cond_idx = np.zeros(n, np.int32)
+        for j, (_, req) in enumerate(group):
+            ids[j, : len(req.ids)] = req.ids
+            n_tokens[j] = len(req.ids)
+            cond_idx[j] = req.voice_idx
+
+        (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
+         self.mimi_state, self.time_embs, self.noise_tab,
+         self._params_dev) = admit_slots_ids(
+            self.engine.fw, self.cache, self.x, self.eos_step, self.done,
+            self.frame_idx, self.mimi_state, self.time_embs,
+            self.noise_tab, self._params_dev,
+            self._put_rep(slot_ids),
+            self._put_rep(ids), self._put_rep(n_tokens),
+            self._put_rep(cond_idx), self.cond_bank, self.cond_len,
+            self._put_rep(te_rows),
+            self._put_rep(noise_rows, self.engine.dtype),
+            self._put_rep(new_params),
+            prefix_budget=self.prefix_budget, cfg=self.cfg,
+            flags=self.engine.flags,
+        )
 
     # -- double-buffered frame machinery --------------------------------------
     #
@@ -598,7 +838,8 @@ class ContinuousBatcher:
                     num_steps, k=k, flags=engine.flags, emit_i16=True,
                 )
             )  # pcm [k, B, S]; wd [k, B] per-frame pre-step done
-        try:  # overlap the transfer with the next frame's device work
+        np.asarray(self.done[:4])  # fence: see _admit_group's note
+        try:  # start the PCM transfer as early as possible
             pcm.copy_to_host_async()
         except Exception:
             pass
@@ -610,8 +851,14 @@ class ContinuousBatcher:
     def _collect(self, pend) -> int:
         """Read an in-flight frame's chunk(s); finalize finished requests."""
         pcm_dev, done_dev, was_done_dev, seq = pend
-        pcm_np = np.asarray(pcm_dev)  # int16; [B, S] or [k, B, S]
-        done_np = np.asarray(done_dev)
+        t = time.perf_counter
+        t0 = t()
+        done_np = np.asarray(done_dev)  # tiny: isolates device-queue wait...
+        t1 = t()
+        pcm_np = np.asarray(pcm_dev)    # ...from the bulk PCM transfer
+        t2 = t()
+        self.phase_s["c_wait"] = self.phase_s.get("c_wait", 0.0) + (t1 - t0)
+        self.phase_s["c_pcm"] = self.phase_s.get("c_pcm", 0.0) + (t2 - t1)
         was_done = np.asarray(was_done_dev)  # [B] or [k, B]
         if pcm_np.ndim == 2:  # single-frame dispatch
             pcm_np = pcm_np[None]

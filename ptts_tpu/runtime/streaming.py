@@ -190,11 +190,18 @@ def fused_stream_steps(
     pre-step done mask of frame j (chunk j of slot b is live iff
     ``~was_done[j, b]``) and ``done`` after frame j is ``was_done[j+1]``
     (final ``done`` for j = k-1).
+
+    The AR FlowLM frames run in a lax.scan, but the vocoder is a pure
+    consumer of the latents (no feedback into the language model), so all
+    ``k`` frames decode in ONE mimi_stream.decode_stream call -- the
+    per-frame streaming decode re-read every conv/transformer weight each
+    frame and dominated the fused step's device time (PERF.md round 3);
+    chunked decoding is exactly equal to per-frame (test_mimi_stream).
     """
     from ..models import mimi_stream
 
     def body(carry, _):
-        cache, mimi_state, x, frame_idx, eos_step, done = carry
+        cache, x, frame_idx, eos_step, done = carry
         was_done = done
         fi = jnp.clip(frame_idx, 0, noise_tab.shape[1] - 1)
         noise = jnp.take_along_axis(noise_tab, fi[:, None, None], axis=1)[:, 0]
@@ -203,20 +210,21 @@ def fused_stream_steps(
             cfg, eos_enabled, eos_threshold, eos_min_frames, eos_after,
             max_frames, num_steps, flags,
         )
-        mimi_state, pcm = mimi_stream.decode_stream(
-            mw, mimi_state, scaled[:, None, :], mcfg
-        )
-        if emit_i16:
-            pcm = quantize_i16_device(pcm)
-        return ((cache, mimi_state, x, frame_idx + 1, eos_step, done),
-                (pcm, eos, was_done))
+        return ((cache, x, frame_idx + 1, eos_step, done),
+                (scaled, eos, was_done))
 
-    (cache, mimi_state, x, frame_idx, eos_step, done), (pcm_k, eos_k, wd_k) = (
+    (cache, x, frame_idx, eos_step, done), (scaled_k, eos_k, wd_k) = (
         jax.lax.scan(
-            body, (cache, mimi_state, x, frame_idx, eos_step, done),
-            None, length=k,
+            body, (cache, x, frame_idx, eos_step, done), None, length=k,
         )
     )
+    B = scaled_k.shape[1]
+    mimi_state, pcm = mimi_stream.decode_stream(
+        mw, mimi_state, scaled_k.transpose(1, 0, 2), mcfg
+    )                                       # [B, k * frame_samples]
+    pcm_k = pcm.reshape(B, k, -1).transpose(1, 0, 2)
+    if emit_i16:
+        pcm_k = quantize_i16_device(pcm_k)
     return (cache, mimi_state, x, pcm_k, eos_k, eos_step, done, wd_k,
             frame_idx)
 

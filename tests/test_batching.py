@@ -311,3 +311,30 @@ def test_sharded_batcher_host_pinning(ctx):
     assert slot_of[rid1] in b._host_slots[1]
     res = b.drain()
     assert res[rid0].frames == 2 and res[rid1].frames == 2
+
+
+def test_ids_admission_matches_prefix_admission(ctx):
+    """The device-built prompt (admit_slots_ids: cond bank + token-id
+    embedding gather + projected BOS) must equal the host-assembled prefix
+    path (engine._build_prefix) request-for-request."""
+    p = api.Params(num_frames=3, num_steps=1, seed=11, temp=0.5,
+                   eos_enabled=False)
+    texts = ["hello world", "one two three", "hi"]
+
+    def run(voice_cap):
+        b = ContinuousBatcher(ctx.engine, slots=4, max_len=96, admit_chunk=2,
+                              prefix_budget=32, voice_cap=voice_cap)
+        rids = [b.submit(t, params=p) for t in texts]
+        reqs = {r: req for req in b.queue for r in [req.rid]}
+        res = b.drain()
+        return rids, reqs, res
+
+    rids_i, reqs_i, res_i = run(voice_cap=4)     # ids path
+    rids_p, reqs_p, res_p = run(voice_cap=0)     # bank disabled -> prefix path
+    assert all(reqs_i[r].ids is not None for r in rids_i)
+    assert all(reqs_p[r].prefix is not None for r in rids_p)
+    for ri, rp in zip(rids_i, rids_p):
+        a, b_ = res_i[ri], res_p[rp]
+        assert a.frames == b_.frames
+        diff = np.abs(a.pcm_i16.astype(np.int32) - b_.pcm_i16.astype(np.int32))
+        assert diff.max() <= 8, f"ids vs prefix path: {diff.max()} LSB"
