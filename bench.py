@@ -358,6 +358,12 @@ def main() -> int:
         result["detail"]["batcher_first_chunk_p50_ms"] = round(p50_b, 1)
         result["detail"]["batcher_finished"] = fin_b
         result["detail"]["batcher_frames_per_step"] = bfps
+        # low-latency operating point: K=4 trades ~15% sustained throughput
+        # for ~2x lower admission->first-chunk latency
+        streams_l, p50_l, _, _ = run_batcher_bench(
+            bslots, dtype, breqs // 2, frames_per_step=4)
+        result["detail"]["batcher_lowlat_streams"] = round(streams_l, 2)
+        result["detail"]["batcher_lowlat_p50_ms"] = round(p50_l, 1)
     except Exception as e:  # never sink the headline metric
         print(f"[bench] batcher bench failed: {e}", file=sys.stderr)
 
