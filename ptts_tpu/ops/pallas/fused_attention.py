@@ -61,6 +61,15 @@ def _swap_matrix(D: int):
     return ((r + D // 2) % D == c).astype(jnp.float32)
 
 
+def _swap_pair_matrix(D: int, w: int):
+    """[w, w] f32 block-diagonal halves-swap: each D-lane head group of a
+    w-lane head-pair tile gets its own independent halves swap."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    same_head = (r // D) == (c // D)
+    return (same_head & ((r % D + D // 2) % D == c % D)).astype(jnp.float32)
+
+
 def _rot_heads(x, cs, sn, P):
     """RoPE rotate [S, nH, D] head slices in one batched dot.
 
@@ -75,12 +84,12 @@ def _rot_heads(x, cs, sn, P):
 
 
 def _window_attn_qkv_kernel(
-    qkv_c_ref,   # [BB, S, 3H, D] current block
-    qkv_p_ref,   # [BB, S, 3H, D] previous block
-    cs_c_ref,    # [S, D] f32 cos64 current
-    sn_c_ref,    # [S, D] f32 sin64n current
-    cs_p_ref,    # [S, D] previous
-    sn_p_ref,    # [S, D]
+    qkv_c_ref,   # [BB, S, 3*H*D] current block (FLAT lanes: q|k|v, heads
+    qkv_p_ref,   # [BB, S, 3*H*D] previous block   contiguous inside each)
+    cs_c_ref,    # [S, 2D] f32 cos64 current, tiled across the head pair
+    sn_c_ref,    # [S, 2D] f32 sin64n current
+    cs_p_ref,    # [S, 2D] previous
+    sn_p_ref,    # [S, 2D]
     o_ref,       # [BB, S, H*D]
     *,
     block_s: int,
@@ -88,14 +97,26 @@ def _window_attn_qkv_kernel(
     t_real: int,
     bb: int,
     num_heads: int,
+    head_dim: int,
 ):
+    # FLAT-LANE FORM (round 3): the earlier kernel took [B, T, 3H, D] -- the
+    # reshape off the [B, T, 3HD] QKV matmul output forced XLA to relayout
+    # the whole 630 MB tensor into 64-lane-minor tiles, plus a second copy to
+    # the custom-call operand layout (~16 ms/call of pure layout churn at
+    # B=256, T=800 in the device trace). This form consumes the matmul
+    # output AS-IS and slices per HEAD PAIR: two D=64 heads = one aligned
+    # 128-lane group (q pair at lane 128g, k at HD+128g, v at 2HD+128g --
+    # all 128-multiples, which Mosaic slices cleanly). Per-head score dots
+    # contract over the full 128 lanes with the other head's lanes zeroed
+    # (exact: + 0.0 terms); per-head context dots produce both heads' lanes
+    # and the wrong half is masked off before the pair is recombined.
     i = pl.program_id(1)
     S = block_s
     H = num_heads
-    D = qkv_c_ref.shape[3]
+    D = head_dim
+    HD = H * D
     dt = qkv_c_ref.dtype
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
-    P = _swap_matrix(D).astype(dt)
     cs_c = cs_c_ref[...]
     sn_c = sn_c_ref[...]
     cs_p = cs_p_ref[...]
@@ -105,37 +126,73 @@ def _window_attn_qkv_kernel(
     k_abs = (i - 1) * S + jax.lax.broadcasted_iota(jnp.int32, (S, 2 * S), 1)
     rel = q_pos - k_abs
     valid = (rel >= 0) & (rel < context) & (k_abs >= 0) & (k_abs < t_real)
+    # rows of the (prev|cur) key stack that exist in the unpadded input; with
+    # non-divisible T the tail block's out-of-bounds rows are UNDEFINED (may
+    # be NaN) and 0 * NaN = NaN would poison the context dot, so V must be
+    # zeroed (scores are safe: `valid` uses where, not multiply)
+    k_row = (i - 1) * S + jax.lax.broadcasted_iota(jnp.int32, (2 * S, 1), 0)
+    k_row_ok = (k_row >= 0) & (k_row < t_real)
+
+    groups = []  # (lane offset, width, per-head lane masks)
+    g = 0
+    while g * 2 < H:
+        off = g * 2 * D
+        w = min(2 * D, HD - off)
+        groups.append((off, w))
+        g += 1
+
+    def pairmask(w, lo):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        return ((lane < D) if lo else (lane >= D)).astype(dt)
+
+    def rot(x, cs, sn, P):
+        xs = jax.lax.dot_general(
+            x, P, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (x.astype(jnp.float32) * cs + xs * sn).astype(dt)
 
     # fori_loop over streams bounds live kernel temporaries to one iteration
     # (a fully-unrolled bb*H loop blows the scoped-VMEM stack at bb >= 2)
     def stream(b, _):
-        # rotate all q + current-k heads in ONE batched dot, prev-k in another
-        rot_c = _rot_heads(qkv_c_ref[b, :, : 2 * H, :], cs_c, sn_c, P)
-        rot_p = _rot_heads(qkv_p_ref[b, :, H : 2 * H, :], cs_p, sn_p, P)
-        for h in range(H):
-            q = rot_c[:, h, :]                                      # [S, D] dt
-            k2 = jnp.concatenate([rot_p[:, h, :], rot_c[:, H + h, :]], axis=0)
+        for off, w in groups:
+            # block-diag swap: rotates each head's halves independently
+            P = _swap_pair_matrix(D, w).astype(dt)
+            q = rot(qkv_c_ref[b, :, off : off + w], cs_c[:, :w], sn_c[:, :w],
+                    P)
+            kc = rot(qkv_c_ref[b, :, HD + off : HD + off + w],
+                     cs_c[:, :w], sn_c[:, :w], P)
+            kp = rot(qkv_p_ref[b, :, HD + off : HD + off + w],
+                     cs_p[:, :w], sn_p[:, :w], P)
+            k2 = jnp.concatenate([kp, kc], axis=0)                  # [2S, w]
             v2 = jnp.concatenate(
-                [qkv_p_ref[b, :, 2 * H + h, :], qkv_c_ref[b, :, 2 * H + h, :]],
+                [qkv_p_ref[b, :, 2 * HD + off : 2 * HD + off + w],
+                 qkv_c_ref[b, :, 2 * HD + off : 2 * HD + off + w]],
                 axis=0,
-            )                                                       # [2S, D]
-
-            # dots run in the INPUT dtype (bf16 serving: full MXU rate; f32
-            # parity: 3-pass) with f32 accumulation -- identical numerics
-            # treatment to the XLA path (probs.astype(v.dtype)).
-            s = jax.lax.dot_general(
-                q, k2, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale                                               # [S, 2S]
-            s = jnp.where(valid, s, NEG_INF)   # where (not mul): kills NaNs
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            out = jax.lax.dot_general(
-                p.astype(dt), v2, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) / jnp.maximum(l, 1e-30)
-            o_ref[b, :, h * D : (h + 1) * D] = out.astype(o_ref.dtype)
+            )
+            v2 = jnp.where(k_row_ok, v2, jnp.zeros_like(v2))
+            acc = None
+            for hmask in ([pairmask(w, True), pairmask(w, False)]
+                          if w == 2 * D else [jnp.ones((1, w), dt)]):
+                # dots run in the INPUT dtype (bf16 serving: full MXU rate;
+                # f32 parity: 3-pass) with f32 accumulation -- identical
+                # numerics treatment to the XLA path (probs.astype(v.dtype)).
+                s = jax.lax.dot_general(
+                    q * hmask, k2, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale                                           # [S, 2S]
+                s = jnp.where(valid, s, NEG_INF)  # where (not mul): kills NaN
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                out = jax.lax.dot_general(
+                    p.astype(dt), v2,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) / jnp.maximum(l, 1e-30)                           # [S, w]
+                out = out * hmask.astype(jnp.float32)  # drop other head's v
+                acc = out if acc is None else acc + out
+            o_ref[b, :, off : off + w] = acc.astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, bb, stream, 0)
@@ -161,6 +218,12 @@ def window_attention_qkv(
 
     Equals rope_rotate_halves + windowed_attention_local on the split q/k/v
     (positions = arange(T)). Returns [B, T, H*D].
+
+    Consumes the FLAT [B, T, 3HD] projection with no host-side pad or
+    reshape: T that doesn't divide the block relies on Pallas' masked tail
+    blocks, and heads are sliced in-kernel as aligned 128-lane pairs -- both
+    relayout copies the 4-D form forced (~16 ms/call at B=256, T=800) are
+    gone from the HLO.
     """
     B, T, qkv_dim = qkv.shape
     H, D = num_heads, head_dim
@@ -168,23 +231,20 @@ def window_attention_qkv(
     S = block
     assert S >= context - 1, (S, context)
     nb = -(-T // S)
-    pad = nb * S - T
-    if pad:
-        qkv = jnp.pad(qkv, [(0, 0), (0, pad), (0, 0)])
     bb = block_b
     while B % bb:
         bb //= 2
-    qkv4 = qkv.reshape(B, nb * S, 3 * H, D)
 
     cos64, sin64n = rope_tables64(nb * S, D, max_period)
-    cos64 = jnp.asarray(cos64)
-    sin64n = jnp.asarray(sin64n)
+    # tile across the head pair: both heads of a 128-lane group share tables
+    cos2 = jnp.asarray(np.concatenate([cos64, cos64], axis=1))
+    sin2 = jnp.asarray(np.concatenate([sin64n, sin64n], axis=1))
 
     def cur(b, i):
-        return (b, i, 0, 0)
+        return (b, i, 0)
 
     def prev(b, i):
-        return (b, jnp.maximum(i - 1, 0), 0, 0)
+        return (b, jnp.maximum(i - 1, 0), 0)
 
     def tcur(b, i):
         return (i, 0)
@@ -192,14 +252,14 @@ def window_attention_qkv(
     def tprev(b, i):
         return (jnp.maximum(i - 1, 0), 0)
 
-    spec_c = pl.BlockSpec((bb, S, 3 * H, D), cur, memory_space=pltpu.VMEM)
-    spec_p = pl.BlockSpec((bb, S, 3 * H, D), prev, memory_space=pltpu.VMEM)
-    tspec_c = pl.BlockSpec((S, D), tcur, memory_space=pltpu.VMEM)
-    tspec_p = pl.BlockSpec((S, D), tprev, memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((bb, S, 3 * H * D), cur, memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((bb, S, 3 * H * D), prev, memory_space=pltpu.VMEM)
+    tspec_c = pl.BlockSpec((S, 2 * D), tcur, memory_space=pltpu.VMEM)
+    tspec_p = pl.BlockSpec((S, 2 * D), tprev, memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _window_attn_qkv_kernel, block_s=S, context=context, t_real=T,
-        bb=bb, num_heads=H,
+        bb=bb, num_heads=H, head_dim=D,
     )
     out = pl.pallas_call(
         kernel,
@@ -207,13 +267,13 @@ def window_attention_qkv(
         in_specs=[spec_c, spec_p, tspec_c, tspec_c, tspec_p, tspec_p],
         out_specs=pl.BlockSpec((bb, S, H * D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nb * S, H * D), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T, H * D), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qkv4, qkv4, cos64, sin64n, cos64, sin64n)
-    return out[:, :T]
+    )(qkv, qkv, cos2, sin2, cos2, sin2)
+    return out
 
 
 def _causal_attn_qkv_kernel(
