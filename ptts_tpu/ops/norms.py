@@ -1,12 +1,23 @@
 """Normalization layers.
 
-Numerics match the reference C exactly:
+Numerics match the reference C to f32 rounding:
   * layernorm: biased variance (/d), eps inside sqrt
     (/root/reference/ptts_flowlm.c:159-181)
   * kyutai_rmsnorm: the model's nonstandard RMSNorm — variance of the
     mean-subtracted vector with Bessel correction (/(d-1)), but the OUTPUT is
     the *un-centered* x scaled by alpha/sqrt(var+eps)
     (/root/reference/ptts_flowlm.c:183-197).
+
+Variance uses the ONE-PASS form E[x^2] - E[x]^2 (clamped at 0) instead of the
+reference's two-pass centered sum: the two reduces become independent, so XLA
+fuses them into a single read of x — the centered form's sequential
+mean -> centered -> reduce chain cost 3 HBM passes (measured 4.7 vs 2.5 ms
+for one LN over [256, 800, 512] bf16 on v5e; ~2 ms/call off the Mimi
+transformer and more off FlowLM prefill). The f32 deviation is
+~1e-7 * (1 + mean^2/var) relative on var — orders below the 1e-3 executed
+C-binary parity gates (tools/ref_parity.py) and the 1e-5 oracle tests; the
+difference only grows when |mean| >> std, which the parity gate would
+surface.
 """
 
 from __future__ import annotations
@@ -21,9 +32,9 @@ def layernorm(x: jnp.ndarray, weight: Optional[jnp.ndarray],
     """LayerNorm over the last axis; weight/bias may be None (final flow layer)."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    centered = xf - mean
-    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
-    y = centered * jax_rsqrt(var + eps)
+    meansq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(meansq - mean * mean, 0.0)
+    y = (xf - mean) * jax_rsqrt(var + eps)
     if weight is not None:
         y = y * weight
     if bias is not None:
@@ -37,9 +48,9 @@ def kyutai_rmsnorm(x: jnp.ndarray, alpha: Optional[jnp.ndarray],
     xf = x.astype(jnp.float32)
     d = x.shape[-1]
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    centered = xf - mean
+    meansq = jnp.mean(xf * xf, axis=-1, keepdims=True)
     denom = max(d - 1, 1)
-    var = jnp.sum(centered * centered, axis=-1, keepdims=True) / denom
+    var = jnp.maximum(meansq - mean * mean, 0.0) * (d / denom)
     inv = jax_rsqrt(var + eps)
     y = xf * inv
     if alpha is not None:
