@@ -107,10 +107,9 @@ class KernelFlags:
     # FlowLM prefill attention: "auto" (Pallas on TPU), "pallas", or "xla".
     # Resolved once at engine construction (models/flowlm.resolve_prefill_impl).
     prefill_impl: str = "auto"
-    # SEANet vocoder conv stack: "auto" (== "xla", the measured winner),
-    # "xla", or "pallas" (experimental fused single-kernel decoder;
-    # models/mimi.resolve_conv_impl).
-    conv_impl: str = "auto"
+    # (The SEANet conv stack has no impl flag: the XLA path measured within
+    # ~5% of its dataflow HBM bound and the fused-kernel experiment was
+    # removed -- see models/mimi.py NOTE and PERF.md.)
     # Transformer/flow-net layer loop: "auto" (== "scan"), "scan"
     # (lax.scan over the stacked [L, ...] weight pytree -- one compiled
     # layer body, ~6x smaller HLO, cuts the serving while_loop's XLA

@@ -355,20 +355,16 @@ def transformer(w: Weights, x: jnp.ndarray, cfg: MimiConfig,
     return x
 
 
-def resolve_conv_impl(choice: str = "auto") -> str:
-    """Resolve the SEANet conv-stack implementation: 'xla' (bf16-output
-    convs, the measured winner at ~40-46 ms for B=256/50 frames on v5e) or
-    'pallas' (the fully fused single-kernel decoder, ops/pallas/seanet.py --
-    correct but 2x slower under Mosaic's structural overheads at this
-    geometry, kept as an opt-in experiment; see PERF.md). 'auto' resolves to
-    'xla'; PTTS_PALLAS_CONV=1 opts in. Call OUTSIDE traced code."""
-    import os
-
-    if choice in ("pallas", "xla"):
-        return choice
-    if os.environ.get("PTTS_PALLAS_CONV", "0") == "1":
-        return "pallas"
-    return "xla"
+# NOTE on the deleted fused-SEANet Pallas experiment (rounds 2-3): the XLA
+# conv stack measured 47.75 ms at B=256/50 frames on v5e, which is within
+# ~5% of its minimal-dataflow HBM bound (~30 GB of once-written/once-read
+# intermediates at the chip's measured ~650 GB/s effective rate;
+# tools/bench_seanet_split.py + PERF.md). A VMEM-fused kernel must pay
+# either the blocked-layout phase expansion or 128-lane padding of the
+# 32/64-channel stage tensors -- both ~2x MXU inflation that cancels the
+# traffic win before Mosaic's structural overheads (the round-2 kernel
+# measured 75-90 ms). Final disposition: XLA path is speed-of-light for
+# this dataflow; the kernel was removed.
 
 
 def conv_stack(w: Weights, x: jnp.ndarray, cfg: MimiConfig) -> jnp.ndarray:
@@ -390,37 +386,29 @@ def conv_stack(w: Weights, x: jnp.ndarray, cfg: MimiConfig) -> jnp.ndarray:
     return conv1d_causal(x, w["dec_out_kernel"], w["dec_out_bias"])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "window_impl",
-                                             "conv_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "window_impl"))
 def _decode_jit(w: Weights, latents: jnp.ndarray, cfg: MimiConfig,
-                window_impl: str, conv_impl: str = "xla") -> jnp.ndarray:
+                window_impl: str) -> jnp.ndarray:
     # quantizer output proj (1x1 conv, no bias)
     x = _linear(w["quant_w"], None, latents)  # [B, F, 512]
     # depthwise transposed upsample 12.5 Hz -> 200 Hz (k=2s matmul form)
     x = convtr1d_2s(x, w["upsample_w1"], w["upsample_w2"], None,
                     stride=cfg.upsample_stride, depthwise=True)
     x = transformer(w["transformer"], x, cfg, window_impl=window_impl)
-    if conv_impl == "pallas":
-        from ..ops.pallas.seanet import conv_stack_pallas
-
-        return conv_stack_pallas(w, x, cfg)  # [B, T*samples]
     return conv_stack(w, x, cfg)[..., 0]
 
 
 def decode(w: Weights, latents: jnp.ndarray, cfg: MimiConfig,
-           window_impl: Optional[str] = None,
-           conv_impl: Optional[str] = None) -> jnp.ndarray:
+           window_impl: Optional[str] = None) -> jnp.ndarray:
     """Latents [B, F, latent_dim] -> PCM [B, F * frame_samples].
 
     Full pipeline of ptts_mimi_decode (ptts_mimi.c:570-738). The windowed-
-    attention and conv-stack implementations are resolved here, outside the
-    trace (None -> resolve_*_impl()); each choice gets its own compiled
+    attention implementation is resolved here, outside the trace
+    (None -> resolve_window_impl()); each choice gets its own compiled
     executable, so flipping the flag between calls actually takes effect."""
     if window_impl is None:
         window_impl = resolve_window_impl()
-    if conv_impl is None:
-        conv_impl = resolve_conv_impl()
-    return _decode_jit(w, latents, cfg, window_impl, conv_impl)
+    return _decode_jit(w, latents, cfg, window_impl)
 
 
 decode.clear_cache = _decode_jit.clear_cache  # tests poke the jit cache

@@ -41,9 +41,6 @@ def flags_from_env() -> KernelFlags:
         prefill_impl={"0": "xla", "1": "pallas"}.get(
             os.environ.get("PTTS_PALLAS_PREFILL", "auto"), "auto"
         ),
-        conv_impl={"0": "xla", "1": "pallas"}.get(
-            os.environ.get("PTTS_PALLAS_CONV", "auto"), "auto"
-        ),
         layer_impl=os.environ.get("PTTS_LAYER_IMPL", "auto"),
         validate=os.environ.get("PTTS_VALIDATE", "0") == "1",
     )
@@ -126,7 +123,6 @@ class TTSEngine:
         # resolve the Mimi windowed-attention impl once, outside any trace
         self.window_impl = mimi.resolve_window_impl(self.flags.window_impl)
         self.prefill_impl = flowlm.resolve_prefill_impl(self.flags.prefill_impl)
-        self.conv_impl = mimi.resolve_conv_impl(self.flags.conv_impl)
 
         fw_host = flowlm.load_weights(ctx.weights, self.flowlm_cfg)
         mw_host = mimi.load_weights(ctx.weights, self.mimi_cfg)
@@ -269,36 +265,23 @@ class TTSEngine:
         try:
             return np.asarray(
                 mimi.decode(self.mw, scaled_latents, self.mimi_cfg,
-                            window_impl=self.window_impl,
-                            conv_impl=self.conv_impl)
+                            window_impl=self.window_impl)
             )
         except Exception as e:
             # same degradation contract as generate_latents_batch: only
             # Pallas/Mosaic failures drop to XLA, everything else propagates
-            pallas_active = (self.window_impl == "pallas"
-                             or self.conv_impl == "pallas")
-            if not pallas_active or not _is_pallas_failure(e):
+            if self.window_impl != "pallas" or not _is_pallas_failure(e):
                 raise
             import warnings
 
-            # only demote the impl(s) actually running Pallas -- a failing
-            # window kernel must not cost the conv kernel's speedup (or
-            # vice versa)
-            demoted = []
-            if self.window_impl == "pallas":
-                self.window_impl = "local"
-                demoted.append("window->local")
-            if self.conv_impl == "pallas":
-                self.conv_impl = "xla"
-                demoted.append("conv->xla")
+            self.window_impl = "local"
             warnings.warn(
                 f"[ptts] Pallas Mimi kernel failed ({type(e).__name__}: {e});"
-                f" permanently degrading: {', '.join(demoted)}"
+                " permanently degrading: window->local"
             )
             return np.asarray(
                 mimi.decode(self.mw, scaled_latents, self.mimi_cfg,
-                            window_impl=self.window_impl,
-                            conv_impl=self.conv_impl)
+                            window_impl=self.window_impl)
             )
 
     def generate_full(self, text: str, voice: Optional[str] = None,

@@ -172,7 +172,7 @@ def test_engine_non_pallas_error_propagates(ctx, monkeypatch):
     # a message that merely CONTAINS a pallas file path must not demote
     # (round-2 VERDICT: substring matching was too broad)
     assert not _is_pallas_failure(
-        ValueError("shape mismatch at ops/pallas/seanet.py:42"))
+        ValueError("shape mismatch at ops/pallas/fused_attention.py:42"))
     # cause chains are walked
     try:
         try:
