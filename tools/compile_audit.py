@@ -97,9 +97,9 @@ def main() -> int:
 
     lat = jnp.zeros((B, frames, cfg.latent_dim), dtype)
     if want("mimi_pallas"):
-        timeit("mimi_pallas", mimi._decode_jit, mw, lat, mcfg, "pallas", "xla")
+        timeit("mimi_pallas", mimi._decode_jit, mw, lat, mcfg, "pallas")
     if want("mimi_xla"):
-        timeit("mimi_xla", mimi._decode_jit, mw, lat, mcfg, "local", "xla")
+        timeit("mimi_xla", mimi._decode_jit, mw, lat, mcfg, "local")
     return 0
 
 
