@@ -59,8 +59,19 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
     frame_bucket = ((frames + 63) // 64) * 64
     max_len = T0 + frame_bucket
 
+    # Weight upload is ASYNC (jnp.asarray returns before the transfer lands);
+    # without an explicit fence the upload tail -- hundreds of MB over this
+    # environment's ~32 MB/s tunnel, highly variable -- blocks the FIRST
+    # pipeline execution and masquerades as compile time (round-3 runs
+    # recorded 220-400 s of "compile" that was really host RNG + transfer).
+    t_w = time.perf_counter()
     fw = flowlm.to_device(flowlm.random_weights(cfg, seed=0), dtype, cfg)
     mw = mimi.to_device(mimi.random_weights(mcfg, seed=1), dtype, mcfg)
+    jax.block_until_ready(jax.tree.leaves(fw) + jax.tree.leaves(mw))
+    # belt and braces: block_until_ready is unreliable through the tunnel;
+    # a scalar readback off the largest weight is a true fence
+    float(jnp.sum(jax.tree.leaves(fw)[0][..., :1].astype(jnp.float32)))
+    weights_s = time.perf_counter() - t_w
     pimpl = flowlm.resolve_prefill_impl()  # Pallas fused-QKV kernel on TPU
 
     rng = np.random.default_rng(0)
@@ -167,6 +178,7 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
             "dtype": dtype_name,
             "wall_s": round(wall_on, 4),
             "compile_s": round(compile_on + compile_off, 1),
+            "weights_s": round(weights_s, 1),
             "platform": jax.default_backend(),
             "eos_off_streams": round(float(streams_off), 2),
             "eos_on_vs_off": round(float(streams_on / streams_off), 4),
@@ -178,7 +190,7 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
 
 def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                       max_seconds: float = 120.0, verbose: bool = True,
-                      frames_per_step: int = 1):
+                      frames_per_step: int = 1, collect_pcm: bool = True):
     """Sustained continuous-batching throughput on the chip.
 
     Drives the production ContinuousBatcher (admission -> fused
@@ -211,7 +223,8 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
     T0 = 64
     b = ContinuousBatcher(eng, slots=slots, max_len=256, admit_chunk=32,
                           prefix_budget=T0, max_num_steps=1,
-                          frames_per_step=frames_per_step)
+                          frames_per_step=frames_per_step,
+                          collect_pcm=collect_pcm)
     rng = np.random.default_rng(0)
     # ids admission path (the production prepare() route): one voice cond
     # cached on device, each request ships token ids only -- a host-built
@@ -303,7 +316,8 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
     p50 = float(np.percentile(first_chunk_ms, 50)) if first_chunk_ms else -1.0
     if verbose:
         print(
-            f"[bench] batcher: slots={slots} dtype={dtype_name} "
+            f"[bench] batcher{'' if collect_pcm else ' (device-bound)'}: "
+            f"slots={slots} dtype={dtype_name} "
             f"fps={frames_per_step} "
             f"finished={finished} frames={frames_done} wall={wall:.1f}s -> "
             f"{streams:.1f} sustained streams/chip, first-chunk p50 "
@@ -364,6 +378,12 @@ def main() -> int:
             bslots, dtype, breqs // 2, frames_per_step=4)
         result["detail"]["batcher_lowlat_streams"] = round(streams_l, 2)
         result["detail"]["batcher_lowlat_p50_ms"] = round(p50_l, 1)
+        # device-bound mode: PCM stays on the chip (only done flags read
+        # back) -- what co-located serving would sustain, where the bulk
+        # PCM leaves over local DMA instead of the remote tunnel RPC
+        streams_d, _, _, _ = run_batcher_bench(
+            bslots, dtype, breqs, frames_per_step=bfps, collect_pcm=False)
+        result["detail"]["batcher_device_streams"] = round(streams_d, 2)
     except Exception as e:  # never sink the headline metric
         print(f"[bench] batcher bench failed: {e}", file=sys.stderr)
 

@@ -278,28 +278,34 @@ def window_attention_qkv(
 
 def _causal_attn_qkv_kernel(
     len_ref,     # scalar prefetch [B] int32
-    qkv_ref,     # [BB, 3H, T, D] head-major
-    cs_ref,      # [T, D] f32
-    sn_ref,      # [T, D] f32
-    o_ref,       # [BB, H, T, D]
-    ok_ref,      # [BB, H, T, D] rotated K (for the KV cache)
+    qkv_ref,     # [BB, T, 3*H*D] FLAT projection (q|k|v, heads contiguous)
+    cs_ref,      # [T, 2D] f32 (pair-tiled)
+    sn_ref,      # [T, 2D] f32
+    o_ref,       # [BB, T, H*D]
+    ok_ref,      # [BB, T, H*D] rotated K (for the KV cache)
     *,
     seq_t: int,
     bb: int,
     num_heads: int,
+    head_dim: int,
 ):
-    # Head-major layout + BATCHED dot_generals: an earlier form of this
-    # kernel unrolled a Python loop over the 16 heads (16 tiny [T,T] dots
-    # per stream body) and cost 220-340 s of Mosaic compile -- the entire
-    # serving cold start (tools/bench_compile.py). With heads as a leading
-    # batch dim the whole stream body is 3 batched dots; compile is seconds.
+    # FLAT-LANE + BATCHED PAIR GROUPS: two compile/runtime lessons meet
+    # here. (1) An early form unrolled a Python loop over the 16 heads (16
+    # tiny [T,T] dots per stream body) and cost 220-340 s of Mosaic compile
+    # -- heads must be a leading BATCH dim of a few dot_generals. (2) The
+    # head-major [B, 3H, T, D] operand layout forced XLA to relayout the
+    # whole projection at the kernel boundary (same ~copies story as the
+    # window kernel). So: consume the flat [B, T, 3HD] matmul output,
+    # gather the aligned 128-lane head PAIRS into a [G, T, 2D] stack in
+    # VMEM, and run batched masked dots over the pair dim (other head's
+    # lanes zeroed -- exact +0.0 terms; wrong context half masked off).
     bidx = pl.program_id(0)
     T = seq_t
     H = num_heads
-    D = qkv_ref.shape[3]
+    D = head_dim
+    HD = H * D
     dt = qkv_ref.dtype
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
-    P = _swap_matrix(D).astype(dt)
     cs = cs_ref[...]
     sn = sn_ref[...]
 
@@ -307,33 +313,61 @@ def _causal_attn_qkv_kernel(
     tk = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     causal = tk <= tq
 
-    def stream(b, _):
-        length = len_ref[bidx * bb + b]
-        valid = causal & (tk < length)                          # [T, T]
-        # rotate q + k heads in one batched dot: [2H, T, D]
-        qk = qkv_ref[b, : 2 * H, :, :]
-        xs = jax.lax.dot_general(
-            qk, P, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        rot = (qk.astype(jnp.float32) * cs[None] + xs * sn[None]).astype(dt)
-        q = rot[:H]                                             # [H, T, D]
-        k = rot[H:]
-        v = qkv_ref[b, 2 * H :, :, :]
-        ok_ref[b] = k.astype(ok_ref.dtype)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                                               # [H, T, T]
-        s = jnp.where(valid[None], s, NEG_INF)
+    # uniform-width lane groups: pairs of heads (width 2D), or a single
+    # width-D group when H == 1 (tests); odd H > 1 is unsupported upstream
+    if H % 2 == 0:
+        G, W = H // 2, 2 * D
+    else:
+        assert H == 1, "odd num_heads > 1 not supported"
+        G, W = 1, D
+    P = _swap_pair_matrix(D, W).astype(dt)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    masks = ([(lane < D).astype(dt), (lane >= D).astype(dt)]
+             if W == 2 * D else [jnp.ones((1, 1, W), dt)])
+
+    def softmax_ctx(s, valid, vp):
+        s = jnp.where(valid[None], s, NEG_INF)      # where (not mul): NaNs
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         out = jax.lax.dot_general(
-            p.astype(dt), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            p.astype(dt), vp, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) / jnp.maximum(l, 1e-30)                               # [H, T, D]
-        o_ref[b] = out.astype(o_ref.dtype)
+        ) / jnp.maximum(l, 1e-30)                   # [G, T, W]
+        return out
+
+    def stream(b, _):
+        length = len_ref[bidx * bb + b]
+        valid = causal & (tk < length)                          # [T, T]
+        qp = jnp.stack([qkv_ref[b, :, g * W : (g + 1) * W]
+                        for g in range(G)])                     # [G, T, W]
+        kp = jnp.stack([qkv_ref[b, :, HD + g * W : HD + (g + 1) * W]
+                        for g in range(G)])
+        vp = jnp.stack([qkv_ref[b, :, 2 * HD + g * W : 2 * HD + (g + 1) * W]
+                        for g in range(G)])
+
+        def rot(x):
+            xs = jax.lax.dot_general(
+                x, P, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (x.astype(jnp.float32) * cs[None, :, :W]
+                    + xs * sn[None, :, :W]).astype(dt)
+
+        qr = rot(qp)
+        kr = rot(kp)
+        acc = None
+        for hmask in masks:
+            s = jax.lax.dot_general(
+                qr * hmask, kr,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale                                           # [G, T, T]
+            out = softmax_ctx(s, valid, vp) * hmask.astype(jnp.float32)
+            acc = out if acc is None else acc + out
+        for g in range(G):
+            o_ref[b, :, g * W : (g + 1) * W] = acc[g].astype(o_ref.dtype)
+            ok_ref[b, :, g * W : (g + 1) * W] = kr[g].astype(ok_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, bb, stream, 0)
@@ -366,38 +400,34 @@ def causal_attention_qkv(
     bb = block_b
     while B % bb:
         bb //= 2
-    # head-major [B, 3H, T, D]: heads become a leading batch dim inside the
-    # kernel (batched dots compile in seconds where a Python head loop cost
-    # minutes of Mosaic compile); XLA fuses this transpose into the producer
-    qkv4 = qkv.reshape(B, T, 3 * H, D).transpose(0, 2, 1, 3)
     cos64, sin64n = rope_tables64(T, D, max_period)
+    cos2 = jnp.asarray(np.concatenate([cos64, cos64], axis=1))
+    sin2 = jnp.asarray(np.concatenate([sin64n, sin64n], axis=1))
 
-    out_spec = pl.BlockSpec((bb, H, T, D), lambda b, *_: (b, 0, 0, 0),
+    out_spec = pl.BlockSpec((bb, T, H * D), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // bb,),
         in_specs=[
-            pl.BlockSpec((bb, 3 * H, T, D), lambda b, *_: (b, 0, 0, 0),
+            pl.BlockSpec((bb, T, 3 * H * D), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, D), lambda b, *_: (0, 0),
+            pl.BlockSpec((T, 2 * D), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, D), lambda b, *_: (0, 0),
+            pl.BlockSpec((T, 2 * D), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec, out_spec],
     )
     kernel = functools.partial(_causal_attn_qkv_kernel, seq_t=T, bb=bb,
-                               num_heads=H)
+                               num_heads=H, head_dim=D)
     out, k_rot = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, H, T, D), qkv.dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((B, T, H * D), qkv.dtype)] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), qkv4, jnp.asarray(cos64),
-      jnp.asarray(sin64n))
-    back = lambda a: a.transpose(0, 2, 1, 3).reshape(B, T, H * D)  # noqa: E731
-    return back(out), back(k_rot)
+    )(lengths.astype(jnp.int32), qkv, cos2, sin2)
+    return out, k_rot

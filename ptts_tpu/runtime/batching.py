@@ -357,7 +357,13 @@ class ContinuousBatcher:
                  max_num_steps: int = 8, pipeline: bool = False,
                  noise_budget: int = 0, mesh=None,
                  frames_per_step: int = 1, voice_cap: int = 8,
-                 cond_budget: int = 0):
+                 cond_budget: int = 0, collect_pcm: bool = True):
+        # collect_pcm=False keeps the PCM chunks ON DEVICE (only the tiny
+        # done/was_done flags are read back): the co-located-serving
+        # measurement mode, where the bulk PCM leaves over local DMA instead
+        # of this environment's ~32 MB/s tunnel RPC. Results then carry
+        # frame counts with empty pcm_i16.
+        self.collect_pcm = collect_pcm
         self.engine = engine
         self.cfg = engine.flowlm_cfg
         self.slots = slots
@@ -839,10 +845,11 @@ class ContinuousBatcher:
                 )
             )  # pcm [k, B, S]; wd [k, B] per-frame pre-step done
         np.asarray(self.done[:4])  # fence: see _admit_group's note
-        try:  # start the PCM transfer as early as possible
-            pcm.copy_to_host_async()
-        except Exception:
-            pass
+        if self.collect_pcm:
+            try:  # start the PCM transfer as early as possible
+                pcm.copy_to_host_async()
+            except Exception:
+                pass
         self._pending = (pcm, self.done, wd, self._seq)
         self._seq += 1
         self._frame_np += k
@@ -855,13 +862,18 @@ class ContinuousBatcher:
         t0 = t()
         done_np = np.asarray(done_dev)  # tiny: isolates device-queue wait...
         t1 = t()
-        pcm_np = np.asarray(pcm_dev)    # ...from the bulk PCM transfer
+        if self.collect_pcm:
+            pcm_np = np.asarray(pcm_dev)  # ...from the bulk PCM transfer
+        else:  # device-bound mode: PCM never leaves the chip
+            pcm_np = np.zeros((pcm_dev.shape[0] if pcm_dev.ndim == 3 else 1,
+                               done_np.shape[0], 0), np.int16)
         t2 = t()
         self.phase_s["c_wait"] = self.phase_s.get("c_wait", 0.0) + (t1 - t0)
         self.phase_s["c_pcm"] = self.phase_s.get("c_pcm", 0.0) + (t2 - t1)
         was_done = np.asarray(was_done_dev)  # [B] or [k, B]
         if pcm_np.ndim == 2:  # single-frame dispatch
             pcm_np = pcm_np[None]
+        if was_done.ndim == 1:
             was_done = was_done[None]
         # slots admitted AFTER this frame was dispatched keep their mirror
         # (the frame predates them); the trash row is never live on the host

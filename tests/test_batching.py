@@ -338,3 +338,26 @@ def test_ids_admission_matches_prefix_admission(ctx):
         assert a.frames == b_.frames
         diff = np.abs(a.pcm_i16.astype(np.int32) - b_.pcm_i16.astype(np.int32))
         assert diff.max() <= 8, f"ids vs prefix path: {diff.max()} LSB"
+
+
+def test_device_bound_mode_counts_frames(ctx):
+    """collect_pcm=False (the co-located-serving measurement mode) must
+    retire requests with the exact frame counts of the normal mode while
+    never transferring PCM (empty pcm_i16)."""
+    p = api.Params(num_frames=3, num_steps=1, seed=7, temp=0.5,
+                   eos_enabled=False)
+    frames = {}
+    for collect in (True, False):
+        batcher = ContinuousBatcher(ctx.engine, slots=2, max_len=96,
+                                    admit_chunk=2, prefix_budget=32,
+                                    collect_pcm=collect)
+        rids = [batcher.submit(t, params=p) for t in ("hello", "world hi")]
+        results = batcher.drain()
+        assert set(results) == set(rids)
+        frames[collect] = [results[r].frames for r in rids]
+        for r in rids:
+            if collect:
+                assert results[r].pcm_i16.size > 0
+            else:
+                assert results[r].pcm_i16.size == 0
+    assert frames[True] == frames[False]
