@@ -326,10 +326,13 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
         )
         n = max(b.n_steps, 1)
         phases = " ".join(f"{k}={v / n * 1e3:.1f}" for k, v in b.phase_s.items())
+        # c_wait/c_pcm are sub-phases OF collect -- exclude them from the
+        # total or "other" goes negative
+        top = sum(v for k, v in b.phase_s.items() if not k.startswith("c_"))
         print(
             f"[bench] batcher phases (ms/step over {b.n_steps} steps, "
             f"{b.n_admit_groups} admit groups): {phases} "
-            f"other={(wall - sum(b.phase_s.values())) / n * 1e3:.1f}",
+            f"other={(wall - top) / n * 1e3:.1f}",
             file=sys.stderr,
         )
     return streams, p50, finished, wall
