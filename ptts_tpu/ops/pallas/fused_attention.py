@@ -54,13 +54,6 @@ def rope_tables64(t_pad: int, head_dim: int, max_period: float,
     return cos64.astype(np.float32), sin64n.astype(np.float32)
 
 
-def _swap_matrix(D: int):
-    """[D, D] f32 permutation: x @ P = [x_hi | x_lo]."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
-    return ((r + D // 2) % D == c).astype(jnp.float32)
-
-
 def _swap_pair_matrix(D: int, w: int):
     """[w, w] f32 block-diagonal halves-swap: each D-lane head group of a
     w-lane head-pair tile gets its own independent halves swap."""
@@ -68,19 +61,6 @@ def _swap_pair_matrix(D: int, w: int):
     c = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
     same_head = (r // D) == (c // D)
     return (same_head & ((r % D + D // 2) % D == c % D)).astype(jnp.float32)
-
-
-def _rot_heads(x, cs, sn, P):
-    """RoPE rotate [S, nH, D] head slices in one batched dot.
-
-    x: any dtype; cs/sn: [S, D] f32 tables; P: [D, D] swap matrix in x.dtype.
-    Returns x.dtype (rotation accumulated in f32, like ops/rope)."""
-    xs = jax.lax.dot_general(
-        x, P, dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                               # [S, nH, D] f32
-    rot = x.astype(jnp.float32) * cs[:, None, :] + xs * sn[:, None, :]
-    return rot.astype(x.dtype)
 
 
 def _window_attn_qkv_kernel(
