@@ -189,8 +189,48 @@ def step_unroll(lw, x, ks, vs, cursor, cfg, mask, pos):
     return x, tuple(ks), tuple(vs)
 
 
+def step_bthd_cond(lw, x, k5, v5, cursor, cfg, mask, pos):
+    """Production layout + lax.cond-truncated cache read: while the cursor
+    is below 3/4*Tmax the attention einsum only reads the first 3/4 of the
+    cache columns (a STATIC slice per cond branch), skipping the dead-column
+    read traffic the masked einsum otherwise pays every frame. Tests whether
+    the branch + smaller DMA beats the straight-line full read (the blocked
+    decode op lost this trade at round 2 via unpipelined dynamic slices --
+    this variant uses static slices the scheduler can pipeline).
+
+    MEASURED AND REJECTED (round 3): 19.0 ms/frame vs bthd's 1.6 at
+    B=256/Tmax=128 -- a lax.cond inside the while_loop body serializes the
+    step far worse than the ~25% dead-column read it skips. Third
+    confirmation (after flash-decode and decode_attention_blocked) that the
+    straight-line masked einsum is the right decode read."""
+    Tmax = k5.shape[2]
+    tcut = ((Tmax * 3 // 4) // 8) * 8
+
+    def body(carry, inputs):
+        x, kc, vc = carry
+        l, wl = inputs
+        q, k, v = _qkv_rot(wl, x, pos, cfg)
+        kc = jax.lax.dynamic_update_slice(
+            kc, k.astype(kc.dtype)[None, :, None], (l, 0, cursor, 0, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v.astype(vc.dtype)[None, :, None], (l, 0, cursor, 0, 0))
+        sel = lambda c: jax.lax.dynamic_index_in_dim(c, l, 0, keepdims=False)
+        kl, vl = sel(kc), sel(vc)
+        attn = jax.lax.cond(
+            cursor < tcut,
+            lambda: _attn(q, kl[:, :tcut], vl[:, :tcut], mask[:, :tcut]),
+            lambda: _attn(q, kl, vl, mask),
+        )
+        return (_mlp(wl, x, attn, cfg), kc, vc), None
+
+    (x, k5, v5), _ = jax.lax.scan(
+        body, (x, k5, v5), (jnp.arange(cfg.num_layers), lw))
+    return x, k5, v5
+
+
 STEPS = {
     "bthd": step_bthd,
+    "bthd_cond": step_bthd_cond,
     "bt_flat": step_bt_flat,
     "tb_flat": step_tb_flat,
     "unroll": step_unroll,
@@ -250,7 +290,7 @@ def make_state(layout, cfg, B, Tmax, T0, dtype, seed=0):
         _BASE["np"] = (x, k, v)
     if layout not in _BASE:
         x, k, v = _BASE["np"]
-        if layout == "bthd":
+        if layout in ("bthd", "bthd_cond"):
             kk, vv = jnp.asarray(k, dtype), jnp.asarray(v, dtype)
         elif layout == "bt_flat":
             kk = jnp.asarray(k.reshape(L, B, Tmax, H * D), dtype)
