@@ -3,7 +3,7 @@
 PY ?= python
 TEST_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
 
-.PHONY: all native test test-fast bench bench-streaming golden parity clean
+.PHONY: all native test test-fast tpu-smoke bench bench-streaming golden parity clean
 
 all: native
 
@@ -22,6 +22,11 @@ test:
 # without the multi-second equality/serving tests (marked @pytest.mark.slow)
 test-fast:
 	$(TEST_ENV) $(PY) -m pytest tests/ -x -q -m "not slow"
+
+# Real-chip smoke gates: accelerated (Pallas/device) paths vs XLA references
+# at full model size (role of the reference's tests/test_mps.c; exits 77 = no TPU)
+tpu-smoke:
+	$(PY) tools/tpu_smoke.py
 
 # Serving throughput on the real chip: prints one JSON line
 bench:
