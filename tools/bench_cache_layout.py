@@ -228,12 +228,67 @@ def step_bthd_cond(lw, x, k5, v5, cursor, cfg, mask, pos):
     return x, k5, v5
 
 
+def step_pair(lw, x, k5, v5, cursor, cfg, mask, pos):
+    """Paired-head 128-lane cache: [L, B, T, H//2, 2*D].
+
+    Tests whether the decode einsum reads a 128-lane-minor cache faster
+    than the production 64-lane-minor one (a compiled-memory probe shows
+    bf16 [..,H,64] has NO physical tile padding -- ratio 1.00 -- so any
+    win here is read-efficiency, not footprint). MEASURED AND REJECTED
+    (round 3): 1.853 ms/frame vs bthd's 1.601 at B=256/Tmax=128 -- the
+    64-lane-minor einsum read is already efficient, and the pair form pays
+    2x score/context MXU work plus the q_ext/diagonal shuffles for
+    nothing. Per-head score dots
+    contract over the full 128 lanes with the other head's query lanes
+    zeroed (exact +0.0 terms); the context dot computes both halves and a
+    static diagonal slice keeps each head's own lanes -- the flat-lane
+    kernel trick (PERF.md round 3) applied at the XLA level.
+    """
+    H, D = cfg.num_heads, cfg.head_dim
+    G = H // 2
+    # eye2[x] keeps half x of the 2D lanes (exact 1.0/0.0 multipliers)
+    eye2 = jnp.repeat(jnp.eye(2, dtype=jnp.float32), D, axis=1)  # [2, 2D]
+
+    def body(carry, inputs):
+        x, kc, vc = carry
+        l, wl = inputs
+        B = x.shape[0]
+        q, k, v = _qkv_rot(wl, x, pos, cfg)
+        kp = k.reshape(B, G, 2 * D)
+        vp = v.reshape(B, G, 2 * D)
+        kc = jax.lax.dynamic_update_slice(
+            kc, kp.astype(kc.dtype)[None, :, None], (l, 0, cursor, 0, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, vp.astype(vc.dtype)[None, :, None], (l, 0, cursor, 0, 0))
+        sel = lambda c: jax.lax.dynamic_index_in_dim(c, l, 0, keepdims=False)
+        kl, vl = sel(kc), sel(vc)          # [B, T, G, 2D]
+        qp = q.reshape(B, G, 2 * D)
+        q_ext = (qp[:, :, None, :].astype(jnp.float32)
+                 * eye2[None, None]).astype(q.dtype)   # [B, G, 2, 2D]
+        scores = jnp.einsum("bgxd,btgd->bgxt", q_ext, kl,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / jnp.sqrt(jnp.float32(D)))
+        scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bgxt,btgd->bgxd", probs.astype(vl.dtype), vl,
+                         preferred_element_type=jnp.float32)  # [B,G,2,2D]
+        c = ctx.reshape(B, G, 2, 2, D)
+        attn = jnp.stack([c[:, :, 0, 0], c[:, :, 1, 1]],
+                         axis=2).reshape(B, H, D).astype(q.dtype)
+        return (_mlp(wl, x, attn, cfg), kc, vc), None
+
+    (x, k5, v5), _ = jax.lax.scan(
+        body, (x, k5, v5), (jnp.arange(cfg.num_layers), lw))
+    return x, k5, v5
+
+
 STEPS = {
     "bthd": step_bthd,
     "bthd_cond": step_bthd_cond,
     "bt_flat": step_bt_flat,
     "tb_flat": step_tb_flat,
     "unroll": step_unroll,
+    "pair": step_pair,
 }
 
 
@@ -292,6 +347,10 @@ def make_state(layout, cfg, B, Tmax, T0, dtype, seed=0):
         x, k, v = _BASE["np"]
         if layout in ("bthd", "bthd_cond"):
             kk, vv = jnp.asarray(k, dtype), jnp.asarray(v, dtype)
+        elif layout == "pair":
+            G2 = (H // 2, 2 * D)
+            kk = jnp.asarray(k.reshape(L, B, Tmax, *G2), dtype)
+            vv = jnp.asarray(v.reshape(L, B, Tmax, *G2), dtype)
         elif layout == "bt_flat":
             kk = jnp.asarray(k.reshape(L, B, Tmax, H * D), dtype)
             vv = jnp.asarray(v.reshape(L, B, Tmax, H * D), dtype)
@@ -329,6 +388,15 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     Tmax = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     frames = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    # optional 4th arg: comma-separated layout subset (baseline bthd is
+    # always included as the equality reference)
+    if len(sys.argv) > 4:
+        want = set(sys.argv[4].split(",")) | {"bthd"}
+        unknown = want - set(STEPS)
+        assert not unknown, f"unknown layouts: {unknown}"
+        selected = {n: s for n, s in STEPS.items() if n in want}
+    else:
+        selected = dict(STEPS)
     dtype = jnp.bfloat16
     cfg = FlowLMConfig()
     T0 = 64
@@ -350,7 +418,7 @@ def main():
     n_check = 4
     ref_x = None
     results = {}
-    for layout in STEPS:
+    for layout in selected:
         run = make_runner(layout, cfg, B, Tmax, T0)
         x, k, v, c0 = make_state(layout, cfg, B, Tmax, T0, dtype)
         t0 = time.perf_counter()
