@@ -3,7 +3,7 @@
 PY ?= python
 TEST_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
 
-.PHONY: all native test test-fast tpu-smoke bench bench-streaming golden parity clean
+.PHONY: all native test test-fast tpu-smoke bench bench-streaming golden parity sanitize clean
 
 all: native
 
@@ -44,6 +44,12 @@ golden:
 # cond/flow/EOS/WAV/bf16 (tools/ref_parity.py; exits 77 = reference absent)
 parity:
 	$(TEST_ENV) $(PY) tools/ref_parity.py
+
+# Sanitizer sweep (analogue of the reference's cuda-sanitize memcheck,
+# Makefile:159-160): interpret-mode Pallas OOB index check, jax_debug_nans
+# generate, stage-boundary finite guards + a planted-NaN detection self-test
+sanitize:
+	$(TEST_ENV) $(PY) tools/sanitize.py
 
 clean:
 	rm -f ptts_tpu/native/libptts_host.so ptts_tpu/native/libptts_host.so.sha256

@@ -48,6 +48,7 @@ from ..io.wav import Audio
 from ..models import flowlm, mimi
 from ..rng import frame_noise
 from ..text import estimate_frames, prepare_text
+from ..utils import sanitize
 from ..utils.timing import span
 from .. import api
 
@@ -126,6 +127,10 @@ class TTSEngine:
 
         fw_host = flowlm.load_weights(ctx.weights, self.flowlm_cfg)
         mw_host = mimi.load_weights(ctx.weights, self.mimi_cfg)
+        # sanitize mode (PTTS_SANITIZE=1): corrupt checkpoints fail fast at
+        # construction with the offending tensor's name (utils/sanitize.py)
+        sanitize.check_tree("load_weights(flowlm)", fw_host)
+        sanitize.check_tree("load_weights(mimi)", mw_host)
         # Host copies for prefix embedding assembly (off the hot path).
         self._embed = fw_host["embed"]
         self._input_linear = fw_host["input_linear"]
@@ -258,15 +263,23 @@ class TTSEngine:
             res = run(self.flags)
         # cap frames_used at the caller's true max (bucketing may exceed it)
         capped = jnp.minimum(res.frames_used, max_frames)
+        if sanitize.enabled():
+            sanitize.check_finite("generate_latents_batch",
+                                  res.latents, res.eos_logits,
+                                  names=("latents", "eos_logits"))
         return res._replace(frames_used=capped, cache=None, x=None)
 
     def decode_audio_batch(self, scaled_latents: jnp.ndarray) -> np.ndarray:
         """[B, F, 32] scaled latents -> PCM [B, F * 1920]."""
         try:
-            return np.asarray(
+            pcm = np.asarray(
                 mimi.decode(self.mw, scaled_latents, self.mimi_cfg,
                             window_impl=self.window_impl)
             )
+            if sanitize.enabled():
+                sanitize.check_finite("decode_audio_batch", pcm,
+                                      names=("pcm",))
+            return pcm
         except Exception as e:
             # same degradation contract as generate_latents_batch: only
             # Pallas/Mosaic failures drop to XLA, everything else propagates
