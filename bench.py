@@ -240,11 +240,14 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
     def make_req():
         frames = int(rng.integers(10, 51))
         ids = rng.integers(1, cfg.vocab, size=int(rng.integers(4, 21)))
-        noise = (rng.standard_normal((frames, cfg.latent_dim)) * 0.8).astype(np.float32)
-        req = Request(rid=-1, prefix=None, noise=noise, max_frames=frames,
+        # production serving path (seed=-1 requests): the noise table is
+        # drawn ON DEVICE at admission -- the padded host row upload
+        # (~25 KB/request) dominated remote admission (PERF.md round 3)
+        req = Request(rid=-1, prefix=None, noise=None, max_frames=frames,
                       eos_after=0, num_steps=1,
                       eos_threshold=np.float32(1e30), eos_min_frames=1,
-                      ids=ids.astype(np.int32), voice_idx=vidx)
+                      ids=ids.astype(np.int32), voice_idx=vidx,
+                      noise_seed=int(rng.integers(0, 2**31)), temp=0.7)
         with b._rid_lock:
             req.rid = b._next_rid
             b._next_rid += 1

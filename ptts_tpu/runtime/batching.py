@@ -88,7 +88,14 @@ class Request:
     prefix: Optional[np.ndarray]  # [T0, d_model] host-assembled prompt, or
     #                               None when (ids, voice_idx) carry the
     #                               prompt for device-side construction
-    noise: np.ndarray           # [max_frames, latent]
+    noise: Optional[np.ndarray]  # [max_frames, latent] host-drawn parity
+    #                              noise (xorshift64*/Box-Muller,
+    #                              ptts_flowlm.c:1211-1231), or None to draw
+    #                              the table ON DEVICE at admission
+    #                              (threefry; ~8 B over the wire instead of
+    #                              the padded [F_max, 32] f32 row -- the
+    #                              noise upload dominated admission through
+    #                              remote tunnels, PERF.md round 3)
     max_frames: int
     eos_after: int
     # per-request generation params (ptts.h:27-40 semantics: every call's
@@ -101,6 +108,14 @@ class Request:
     # ~128 KB embedding matrix
     ids: Optional[np.ndarray] = None   # int32, already clamped to vocab
     voice_idx: int = -1
+    # device-noise admission path (noise is None): per-request draw params.
+    # Distributionally identical to the host path (N(0, temp) clamped) but a
+    # different RNG, so it is NOT bit-matching the fixed-seed parity path --
+    # prepare() only routes here for seed=-1 requests (the reference's own
+    # non-reproducible default, ptts_flowlm.c:1187-1188).
+    noise_seed: int = 0
+    temp: float = 0.7
+    noise_clamp: float = 0.0
 
 
 @dataclasses.dataclass
@@ -114,6 +129,27 @@ class Result:
     def audio(self) -> np.ndarray:
         """f32 view (i16/32767) for numeric consumers."""
         return self.pcm_i16.astype(np.float32) / np.float32(32767.0)
+
+
+def _device_noise_rows(noise_seed, noise_meta, frames, F, C, dtype):
+    """Draw the per-slot noise tables on device at admission time.
+
+    [n, F, C] rows ~ N(0, std^2), optionally clamped, rows >= the request's
+    frame count zeroed -- the same table the host path uploads, built from a
+    per-request threefry fold instead of shipped over the wire. std=0
+    (temp<=0) gives all-zeros like the host path (ptts_flowlm.c:1211-1231
+    semantics; different RNG, same distribution).
+    """
+    base = jax.random.PRNGKey(0)
+    keys = jax.vmap(lambda s: jax.random.fold_in(base, s))(
+        noise_seed.astype(jnp.int32))
+    z = jax.vmap(lambda k: jax.random.normal(k, (F, C), jnp.float32))(keys)
+    std = noise_meta[0][:, None, None]
+    clamp = noise_meta[1][:, None, None]
+    z = z * std
+    z = jnp.where(clamp > 0, jnp.clip(z, -clamp, clamp), z)
+    live = jnp.arange(F)[None, :, None] < frames.astype(jnp.int32)[:, None, None]
+    return jnp.where(live, z, 0.0).astype(dtype)
 
 
 def _admit_core(
@@ -171,7 +207,7 @@ def _admit_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "flags"),
+    jax.jit, static_argnames=("cfg", "flags", "device_noise"),
     # only the big buffers are donated: the [B1]-scalar state (done,
     # eos_step, frame_idx) and x_all stay un-donated because the in-flight
     # pipelined frame (ContinuousBatcher._pending) still references them
@@ -199,19 +235,26 @@ def admit_slots(
     new_params: jnp.ndarray,    # [5, n] f32 packed per-request params
     cfg: FlowLMConfig,
     flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
+    noise_seed: Optional[jnp.ndarray] = None,   # [n] device-noise seeds
+    noise_meta: Optional[jnp.ndarray] = None,   # [2, n] f32 (std, clamp)
+    device_noise: bool = False,
 ):
     """Prefill n new prompts and scatter their state into the pool rows.
 
     New prompts' K/V go to prefix columns [0, T0); their decode region begins
     at the current shared cursor (cache.start[slot] = cache.cursor).
     """
+    if device_noise:
+        noise_rows = _device_noise_rows(
+            noise_seed, noise_meta, new_params[3],
+            noise_tab.shape[1], noise_tab.shape[2], noise_tab.dtype)
     return _admit_core(w, cache, x_all, eos_step, done, frame_idx, mimi_state,
                        time_embs, noise_tab, params, slot_ids, prefix,
                        lengths, te_rows, noise_rows, new_params, cfg, flags)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "flags", "prefix_budget"),
+    jax.jit, static_argnames=("cfg", "flags", "prefix_budget", "device_noise"),
     donate_argnames=("cache", "mimi_state", "time_embs", "noise_tab",
                      "params"),
 )
@@ -238,6 +281,9 @@ def admit_slots_ids(
     prefix_budget: int,
     cfg: FlowLMConfig,
     flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
+    noise_seed: Optional[jnp.ndarray] = None,   # [n] device-noise seeds
+    noise_meta: Optional[jnp.ndarray] = None,   # [2, n] f32 (std, clamp)
+    device_noise: bool = False,
 ):
     """Admission from TOKEN IDS: the prompt embedding matrix is built ON
     DEVICE (engine._build_prefix semantics, ptts_flowlm.c:1159-1185:
@@ -276,6 +322,10 @@ def admit_slots_ids(
     ).astype(cond_bank.dtype)
     lengths = (c + n_tokens + 1).astype(jnp.int32)
 
+    if device_noise:
+        noise_rows = _device_noise_rows(
+            noise_seed, noise_meta, new_params[3],
+            noise_tab.shape[1], noise_tab.shape[2], noise_tab.dtype)
     return _admit_core(w, cache, x_all, eos_step, done, frame_idx, mimi_state,
                        time_embs, noise_tab, params, slot_ids, prefix,
                        lengths, te_rows, noise_rows, new_params, cfg, flags)
@@ -357,13 +407,19 @@ class ContinuousBatcher:
                  max_num_steps: int = 8, pipeline: bool = False,
                  noise_budget: int = 0, mesh=None,
                  frames_per_step: int = 1, voice_cap: int = 8,
-                 cond_budget: int = 0, collect_pcm: bool = True):
+                 cond_budget: int = 0, collect_pcm: bool = True,
+                 device_noise: bool = True):
         # collect_pcm=False keeps the PCM chunks ON DEVICE (only the tiny
         # done/was_done flags are read back): the co-located-serving
         # measurement mode, where the bulk PCM leaves over local DMA instead
         # of this environment's ~32 MB/s tunnel RPC. Results then carry
         # frame counts with empty pcm_i16.
         self.collect_pcm = collect_pcm
+        # device_noise: seed=-1 requests (the reference's non-reproducible
+        # default) draw their noise tables ON DEVICE at admission; explicit
+        # seeds always take the host xorshift64* parity path so fixed-seed
+        # results bit-match the offline engine
+        self.device_noise = device_noise
         self.engine = engine
         self.cfg = engine.flowlm_cfg
         self.slots = slots
@@ -607,11 +663,21 @@ class ContinuousBatcher:
         with self._rid_lock:
             rid = self._next_rid
             self._next_rid += 1
+        # explicit seed -> host parity noise (bit-matches the offline
+        # engine's seed+rid stream); seed=-1 + device_noise -> the noise
+        # table is drawn on device at admission (no bulk upload)
+        if self.device_noise and p.seed == -1:
+            noise = None
+        else:
+            noise = frame_noise(seed + rid, max_frames, self.cfg.latent_dim,
+                                temp=p.temp, noise_clamp=p.noise_clamp)
         return Request(
             rid=rid,
             prefix=prefix,
-            noise=frame_noise(seed + rid, max_frames, self.cfg.latent_dim,
-                              temp=p.temp, noise_clamp=p.noise_clamp),
+            noise=noise,
+            noise_seed=(seed + rid) & 0xFFFFFFFF,
+            temp=p.temp,
+            noise_clamp=p.noise_clamp,
             max_frames=max_frames,
             eos_after=p.eos_after if p.eos_after > 0 else eos_after_guess,
             num_steps=p.num_steps,
@@ -666,6 +732,7 @@ class ContinuousBatcher:
     # -- serving loop ----------------------------------------------------------
 
     def _admit(self) -> None:
+        admitted = False
         for h in range(self.n_hosts):
             q = self.queues[h]
             if not q:
@@ -676,31 +743,52 @@ class ContinuousBatcher:
                 while free and q and len(group) < self.admit_chunk:
                     group.append((free.pop(0), q.popleft()))
                 self._admit_group(group, self._host_trash[h])
+                admitted = True
+        if admitted:
+            # fence the admissions before the next frame dispatch: leaving
+            # an admit program outstanding while the frame step (which
+            # consumes its donated outputs) queues behind it measured ~2x
+            # slower steps on remote-tunnel runtimes (PERF.md round 3). ONE
+            # fence for the whole admission phase -- each np.asarray is a
+            # full RPC roundtrip through the tunnel, so per-group fences
+            # cost ~20 ms apiece at multi-group steps. The read is 4 slots
+            # of eos_step (an admit output), microseconds once admit is done.
+            np.asarray(self.eos_step[:4])
 
     def _admit_group(self, group: List[Tuple[int, Request]],
                      trash_row: int) -> None:
-        by_ids = [g for g in group if g[1].ids is not None]
-        by_prefix = [g for g in group if g[1].ids is None]
-        if by_ids:
-            self._admit_group_ids(by_ids, trash_row)
-        if by_prefix:
-            self._admit_group_prefix(by_prefix, trash_row)
-        # fence the admission before the next frame dispatch: leaving the
-        # admit program outstanding while the frame step (which consumes its
-        # donated outputs) queues behind it measured ~2x slower steps on
-        # remote-tunnel runtimes (PERF.md round 3); the read is 4 slots of
-        # eos_step (an admit output), microseconds once admit has finished
-        np.asarray(self.eos_step[:4])
+        # partition by admit program variant: (prompt as ids vs host prefix)
+        # x (noise drawn on device vs host-uploaded parity rows)
+        for by_ids in (True, False):
+            for dev_noise in (True, False):
+                sub = [g for g in group
+                       if (g[1].ids is not None) == by_ids
+                       and (g[1].noise is None) == dev_noise]
+                if not sub:
+                    continue
+                if by_ids:
+                    self._admit_group_ids(sub, trash_row, dev_noise)
+                else:
+                    self._admit_group_prefix(sub, trash_row, dev_noise)
 
-    def _admit_bookkeep(self, group, trash_row):
+    def _admit_bookkeep(self, group, trash_row, dev_noise: bool):
         """Shared per-group host bookkeeping; returns the padded admission
-        arrays every path uploads (slots, Euler tables, noise, params)."""
+        arrays every path uploads (slots, Euler tables, noise, params).
+
+        ``dev_noise`` groups carry only a seed + (std, clamp) per request --
+        the [F_max, latent] noise rows are drawn on device in the admit
+        program (the padded host row was ~25 KB/request over the wire and
+        dominated remote admission)."""
         n = self.admit_chunk
         slot_ids = np.full(n, trash_row, np.int32)
         te_rows = np.zeros((n, self.max_num_steps, self.cfg.flow_dim),
                            np.float32)
-        noise_rows = np.zeros((n, self.noise_budget, self.cfg.latent_dim),
-                              np.float32)
+        if dev_noise:
+            noise = {"seed": np.zeros(n, np.int32),
+                     "meta": np.zeros((2, n), np.float32)}
+        else:
+            noise = {"rows": np.zeros((n, self.noise_budget,
+                                       self.cfg.latent_dim), np.float32)}
         # packed [5, n] f32 (ints < 2^24, exact): one upload instead of five
         new_params = np.zeros((5, n), np.float32)
         new_params[0] = 1e30
@@ -710,7 +798,13 @@ class ContinuousBatcher:
         for j, (slot, req) in enumerate(group):
             slot_ids[j] = slot
             te_rows[j] = self._te_row(req.num_steps)
-            noise_rows[j, : len(req.noise)] = req.noise
+            if dev_noise:
+                noise["seed"][j] = np.uint32(req.noise_seed & 0xFFFFFFFF).view(np.int32)
+                noise["meta"][0, j] = (np.sqrt(np.float32(req.temp))
+                                       if req.temp > 0 else 0.0)
+                noise["meta"][1, j] = req.noise_clamp
+            else:
+                noise["rows"][j, : len(req.noise)] = req.noise
             new_params[:, j] = (req.eos_threshold, req.eos_min_frames,
                                 req.eos_after, req.max_frames, req.num_steps)
             self.slot_req[slot] = req
@@ -726,14 +820,25 @@ class ContinuousBatcher:
             self._done_np[slot] = False
             self._admit_seq[slot] = self._seq
         self.n_admit_groups += 1
-        return slot_ids, te_rows, noise_rows, new_params
+        return slot_ids, te_rows, noise, new_params
+
+    def _noise_args(self, noise: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """kwargs for the admit program's noise variant (host vs device)."""
+        if "rows" in noise:
+            return {"noise_rows": self._put_rep(noise["rows"],
+                                                self.engine.dtype),
+                    "device_noise": False}
+        return {"noise_rows": None,
+                "noise_seed": self._put_rep(noise["seed"]),
+                "noise_meta": self._put_rep(noise["meta"]),
+                "device_noise": True}
 
     def _admit_group_prefix(self, group: List[Tuple[int, Request]],
-                            trash_row: int) -> None:
+                            trash_row: int, dev_noise: bool) -> None:
         n = self.admit_chunk
         T0 = self.prefix_budget
-        slot_ids, te_rows, noise_rows, new_params = self._admit_bookkeep(
-            group, trash_row)
+        slot_ids, te_rows, noise, new_params = self._admit_bookkeep(
+            group, trash_row, dev_noise)
         prefix = np.zeros((n, T0, self.cfg.d_model), np.float32)
         lengths = np.ones(n, np.int32)
         for j, (_, req) in enumerate(group):
@@ -749,17 +854,17 @@ class ContinuousBatcher:
             self._put_rep(slot_ids),
             self._put_rep(prefix, self.engine.dtype),
             self._put_rep(lengths), self._put_rep(te_rows),
-            self._put_rep(noise_rows, self.engine.dtype),
-            self._put_rep(new_params), self.cfg,
+            new_params=self._put_rep(new_params), cfg=self.cfg,
             flags=self.engine.flags,
+            **self._noise_args(noise),
         )
 
     def _admit_group_ids(self, group: List[Tuple[int, Request]],
-                         trash_row: int) -> None:
+                         trash_row: int, dev_noise: bool) -> None:
         n = self.admit_chunk
         Tt = self.prefix_budget
-        slot_ids, te_rows, noise_rows, new_params = self._admit_bookkeep(
-            group, trash_row)
+        slot_ids, te_rows, noise, new_params = self._admit_bookkeep(
+            group, trash_row, dev_noise)
         ids = np.zeros((n, Tt), np.int32)
         n_tokens = np.zeros(n, np.int32)
         cond_idx = np.zeros(n, np.int32)
@@ -778,10 +883,10 @@ class ContinuousBatcher:
             self._put_rep(ids), self._put_rep(n_tokens),
             self._put_rep(cond_idx), self.cond_bank, self.cond_len,
             self._put_rep(te_rows),
-            self._put_rep(noise_rows, self.engine.dtype),
-            self._put_rep(new_params),
+            new_params=self._put_rep(new_params),
             prefix_budget=self.prefix_budget, cfg=self.cfg,
             flags=self.engine.flags,
+            **self._noise_args(noise),
         )
 
     # -- double-buffered frame machinery --------------------------------------
@@ -844,7 +949,12 @@ class ContinuousBatcher:
                     num_steps, k=k, flags=engine.flags, emit_i16=True,
                 )
             )  # pcm [k, B, S]; wd [k, B] per-frame pre-step done
-        np.asarray(self.done[:4])  # fence: see _admit_group's note
+        if self.pipeline:
+            # fence: see _admit's note. Only the speculative double-buffered
+            # loop needs it -- the serial loop collects (and therefore fully
+            # waits on) this frame immediately after dispatch, so an extra
+            # [:4] read here is just one more ~20 ms RPC roundtrip per step.
+            np.asarray(self.done[:4])
         if self.collect_pcm:
             try:  # start the PCM transfer as early as possible
                 pcm.copy_to_host_async()

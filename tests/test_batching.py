@@ -361,3 +361,78 @@ def test_device_bound_mode_counts_frames(ctx):
             else:
                 assert results[r].pcm_i16.size == 0
     assert frames[True] == frames[False]
+
+
+def test_device_noise_routing(ctx):
+    """prepare(): explicit seed -> host parity noise; seed=-1 -> device draw."""
+    b = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=1,
+                          prefix_budget=32)
+    req = b.prepare("hello", params=api.Params(num_frames=3, seed=7))
+    assert req.noise is not None
+    req2 = b.prepare("hello", params=api.Params(num_frames=3, seed=-1,
+                                                temp=0.5, noise_clamp=1.0))
+    assert req2.noise is None
+    assert req2.temp == 0.5 and req2.noise_clamp == 1.0
+    # device_noise=False forces the host path even for seed=-1
+    b2 = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=1,
+                           prefix_budget=32, device_noise=False)
+    req3 = b2.prepare("hello", params=api.Params(num_frames=3, seed=-1))
+    assert req3.noise is not None
+
+
+def test_device_noise_rows_semantics():
+    """_device_noise_rows: std scaling, clamping, frame masking, per-seed
+    decorrelation -- the exact table the host path would have uploaded."""
+    import jax.numpy as jnp
+
+    from ptts_tpu.runtime import batching
+
+    seeds = jnp.asarray([1, 2, 1], jnp.int32)
+    std = np.float32(np.sqrt(0.7))
+    meta = jnp.asarray([[std, 1.0, std], [0.0, 0.1, 0.0]], jnp.float32)
+    frames = jnp.asarray([50.0, 10.0, 50.0], jnp.float32)
+    rows = np.asarray(batching._device_noise_rows(
+        seeds, meta, frames, 64, 32, jnp.float32))
+    # frame mask: rows at/after the request's frame count are zero
+    assert np.all(rows[0, 50:] == 0) and np.all(rows[1, 10:] == 0)
+    assert np.all(rows[0, :50] != 0)
+    # std: N(0, 0.7) over 1600 draws
+    got_std = rows[0, :50].std()
+    assert abs(got_std - std) < 0.1, got_std
+    # clamp
+    assert np.abs(rows[1, :10]).max() <= 0.1 + 1e-6
+    # same seed -> same rows; different seed -> different rows
+    np.testing.assert_array_equal(rows[0], rows[2])
+    assert np.any(rows[0, :10] != rows[1, :10])
+
+
+@pytest.mark.slow
+def test_device_noise_roundtrip_matches_host_path(ctx):
+    """A device-noise request must produce bit-identical PCM to a host-noise
+    request fed the SAME noise values (the table read back off the device):
+    proves the device-noise plumbing only changes where the table comes
+    from, not how it is consumed."""
+    import jax.numpy as jnp
+
+    p = api.Params(num_frames=4, num_steps=1, seed=-1, temp=0.5,
+                   eos_enabled=False)
+    b = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=1,
+                          prefix_budget=32)
+    req = b.prepare("hello world", params=p)
+    assert req.noise is None
+    rid = b.enqueue(req)
+    b.step()  # admits (and runs the first frame)
+    slot = next(s for s in b.slot_rows if b.slot_req[s] is not None
+                and b.slot_req[s].rid == rid)
+    noise = np.asarray(b.noise_tab[slot].astype(jnp.float32))[:4]
+    res = b.drain()[rid]
+    assert res.frames == 4
+
+    b2 = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=1,
+                           prefix_budget=32)
+    req2 = b2.prepare("hello world", params=api.Params(
+        num_frames=4, num_steps=1, seed=3, temp=0.5, eos_enabled=False))
+    req2.noise = noise  # override with the device-drawn values
+    rid2 = b2.enqueue(req2)
+    res2 = b2.drain()[rid2]
+    np.testing.assert_array_equal(res.pcm_i16, res2.pcm_i16)
