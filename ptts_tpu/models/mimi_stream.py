@@ -116,6 +116,17 @@ def ring_init(cfg: MimiConfig, batch: int, dtype) -> State:
         # per-stream positions processed so far (streams may be admitted at
         # different times under continuous batching)
         "pos": jnp.zeros((batch,), jnp.int32),
+        # per-(stream, slot) absolute position of the stored key; -1 = empty.
+        # Storing validity explicitly (393 KB at B=256) lets the K/V write be
+        # ONE dynamic_update_slice at a GLOBAL cursor shared by all streams
+        # instead of a per-stream scatter at pos % RING -- the scatter
+        # measured 14.0 ms/chunk at serving shapes vs ~0 for the slice
+        # (PERF.md round 3); admission simply stamps a row to -1 and no
+        # longer zeroes the ring K/V at all.
+        "kpos": jnp.full((batch, RING), -1, jnp.int32),
+        # global write cursor: next free slot column (shared by all streams,
+        # which advance in lockstep Tc per call)
+        "wc": jnp.zeros((), jnp.int32),
     }
 
 
@@ -123,25 +134,21 @@ def _ring_attention(
     q: jnp.ndarray,        # [B, Tc, H, D] (already rope'd)
     k_ring: jnp.ndarray,   # [B, RING, H, D]
     v_ring: jnp.ndarray,
+    kpos: jnp.ndarray,     # [B, RING]: absolute position per slot, -1 empty
     pos0: jnp.ndarray,     # [B]: absolute position of q[:, 0]
     Tc: int,
     context: int,
 ) -> jnp.ndarray:
-    """Attention over ring slots with absolute-position window masking."""
-    B, R = k_ring.shape[0], k_ring.shape[1]
+    """Attention over ring slots with stored-position window masking."""
     D = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_ring,
                         preferred_element_type=jnp.float32) * scale
 
-    # Absolute position stored in ring slot j: the latest p <= p_end with
-    # p % R == j (slots older than R positions have been overwritten).
-    p_end = pos0[:, None] + Tc - 1                            # [B, 1]
-    slots = jnp.arange(R)[None, :]                            # [1, R]
-    key_abs = p_end - ((p_end - slots) % R)                   # [B, R]
     q_pos = pos0[:, None] + jnp.arange(Tc)[None, :]           # [B, Tc]
-    valid = (key_abs[:, None, :] >= 0) & (key_abs[:, None, :] <= q_pos[:, :, None])
-    valid &= (q_pos[:, :, None] - key_abs[:, None, :]) < context
+    key_abs = kpos[:, None, :]                                # [B, 1, R]
+    valid = (key_abs >= 0) & (key_abs <= q_pos[:, :, None])
+    valid &= (q_pos[:, :, None] - key_abs) < context
     scores = jnp.where(valid[:, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_ring.dtype), v_ring,
@@ -152,13 +159,24 @@ def _ring_attention(
 def transformer_stream(
     w: State, ring: State, x: jnp.ndarray, cfg: MimiConfig
 ) -> Tuple[State, jnp.ndarray]:
-    """Process a chunk of Tc 200 Hz positions through the depth transformer."""
+    """Process a chunk of Tc 200 Hz positions through the depth transformer.
+
+    All streams advance in lockstep, so the chunk's K/V land at the same
+    ring columns [s, s+Tc) for every stream: one dynamic_update_slice per
+    layer (in-place under donation). ``s`` wraps to 0 when the chunk would
+    run past the ring end; with a chunk size that divides RING (every
+    production chunk: 16 Tc per FlowLM frame, RING=384) the cursor cycles
+    with no slack, and in the general case the stored ``kpos`` keeps the
+    mask exact while at most the oldest Tc-1 in-window slots are recycled
+    early."""
     B, Tc, d = x.shape
     H, D = cfg.num_heads, cfg.head_dim
+    R = ring["k"].shape[2]
     pos0 = ring["pos"]                                   # [B]
     positions = pos0[:, None] + jnp.arange(Tc)[None, :]  # [B, Tc]
-    slots = positions % RING                              # [B, Tc]
-    batch_idx = jnp.arange(B)[:, None]
+    s = ring["wc"]
+    s = jnp.where(s + Tc <= R, s, 0)                     # wrap whole chunks
+    kpos = jax.lax.dynamic_update_slice(ring["kpos"], positions, (0, s))
 
     k_rings, v_rings = ring["k"], ring["v"]
     for l in range(cfg.num_layers):
@@ -170,10 +188,13 @@ def transformer_stream(
         v = qkv[..., 2 * d :].reshape(B, Tc, H, D)
         q, k = rope_rotate_halves(q, k, positions, cfg.max_period)
 
-        k_rings = k_rings.at[l].set(k_rings[l].at[batch_idx, slots].set(k))
-        v_rings = v_rings.at[l].set(v_rings[l].at[batch_idx, slots].set(v))
+        k_rings = jax.lax.dynamic_update_slice(
+            k_rings, k[None].astype(k_rings.dtype), (l, 0, s, 0, 0))
+        v_rings = jax.lax.dynamic_update_slice(
+            v_rings, v[None].astype(v_rings.dtype), (l, 0, s, 0, 0))
 
-        attn = _ring_attention(q, k_rings[l], v_rings[l], pos0, Tc, cfg.context)
+        attn = _ring_attention(q, k_rings[l], v_rings[l], kpos, pos0, Tc,
+                               cfg.context)
         add = jnp.einsum("bthd,ohd->bto", attn.reshape(B, Tc, H, D),
                          w["out_proj"][l].reshape(d, H, D),
                          preferred_element_type=jnp.float32).astype(x.dtype)
@@ -191,7 +212,8 @@ def transformer_stream(
             add = add * w["ls2"][l]
         x = x + add
 
-    new_ring = {"k": k_rings, "v": v_rings, "pos": pos0 + Tc}
+    new_ring = {"k": k_rings, "v": v_rings, "pos": pos0 + Tc,
+                "kpos": kpos, "wc": (s + Tc) % R}
     return new_ring, x
 
 

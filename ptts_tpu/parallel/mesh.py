@@ -143,6 +143,8 @@ def shard_mimi_stream_state(mesh: Mesh, state):
             "k": put(state["ring"]["k"], 1),
             "v": put(state["ring"]["v"], 1),
             "pos": put(state["ring"]["pos"]),
+            "kpos": put(state["ring"]["kpos"]),
+            "wc": jax.device_put(state["ring"]["wc"], replicated(mesh)),
         },
         "dec_in": put(state["dec_in"]),
         "stages": [{k: put(v) for k, v in st.items()} for st in state["stages"]],

@@ -191,9 +191,14 @@ def _admit_core(
     mimi_state = {
         "up": mimi_state["up"].at[slot_ids].set(0.0),
         "ring": {
-            "k": mimi_state["ring"]["k"].at[:, slot_ids].set(0.0),
-            "v": mimi_state["ring"]["v"].at[:, slot_ids].set(0.0),
+            # stale K/V need no zeroing: kpos=-1 masks every slot of the
+            # reused stream until its own chunks are written (the global
+            # write cursor ``wc`` is shared state and survives admission)
+            "k": mimi_state["ring"]["k"],
+            "v": mimi_state["ring"]["v"],
             "pos": mimi_state["ring"]["pos"].at[slot_ids].set(0),
+            "kpos": mimi_state["ring"]["kpos"].at[slot_ids].set(-1),
+            "wc": mimi_state["ring"]["wc"],
         },
         "dec_in": mimi_state["dec_in"].at[slot_ids].set(0.0),
         "stages": [
