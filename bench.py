@@ -221,7 +221,11 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                                 fw=fw, mw=mw, flags=KernelFlags())
 
     T0 = 64
-    b = ContinuousBatcher(eng, slots=slots, max_len=256, admit_chunk=32,
+    # max_len = prefix + decode RING: requests are <= 50 frames, so 64 ring
+    # columns hold every live span and the wrap recycles retired columns --
+    # the pre-ring bench needed 256 columns of headroom for the same load
+    # (2x the decode-attention cache traffic per frame)
+    b = ContinuousBatcher(eng, slots=slots, max_len=128, admit_chunk=32,
                           prefix_budget=T0, max_num_steps=1,
                           frames_per_step=frames_per_step,
                           collect_pcm=collect_pcm)
@@ -285,7 +289,7 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                 done.append(rid)
         pending_first.difference_update(done)
 
-    # warmup: compiles admit_slots + fused_stream_step + compaction path
+    # warmup: compiles admit_slots + fused_stream_step
     for _ in range(12):
         top_up()
         b.step()

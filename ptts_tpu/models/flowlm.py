@@ -44,7 +44,9 @@ def _decode_attention_dispatch(q, k_cache, v_cache, mask, scalars,
     that runs both and prints the maxdiff (the reference's
     PTTS_CUDA_VALIDATE pattern, ptts_flowlm.c:527-552). ``scalars`` =
     (prefix_len [B], start [B], cursor) for the blocked path's cursor-bounded
-    reads. 'auto' == 'einsum': inside the jitted AR while_loop the masked einsum
+    reads; the blocked path assumes a NON-WRAPPING cache (true for every
+    offline path, which sizes the cache prefix + max_frames -- the
+    continuous batcher's ring cache wraps and uses the masked einsum). 'auto' == 'einsum': inside the jitted AR while_loop the masked einsum
     measured 2130 us/frame at B=256/Tmax=128 vs 5491 for the blocked
     online-softmax path (the dynamic-trip-count fori_loop's unpipelined
     dynamic_slice DMAs cost more than the dead-column reads they skip), and
@@ -302,13 +304,28 @@ class KVCache(NamedTuple):
     [prefix_len, start) is masked, which is exactly what continuous batching
     needs when a freed slot is reused mid-flight (runtime/batching.py).
     The next token's RoPE position is prefix_len + (cursor - start).
+
+    Decode columns are a RING: ``cursor`` counts decode writes monotonically
+    (it never resets) and write ``cursor`` lands at column
+    ``t0 + (cursor - t0) % R`` with ``R = Tmax - t0`` (``t0`` = first decode
+    column, i.e. the prefix-region width). The validity mask recovers each
+    column's absolute index from the shared cursor -- exact because ALL
+    streams advance in lockstep, one column per frame. While
+    ``cursor - t0 <= R`` (every offline path: the cache is sized
+    prefix + max_frames) this is bit-identical to a linear cache; under
+    continuous batching the cursor wraps and a stream admitted at
+    ``start = cursor`` reuses columns whose owner stream is necessarily
+    finished (a live span can't exceed R: per-request frames <= the pool's
+    noise budget <= R). This caps decode-attention cache traffic at R
+    columns per frame FOREVER and removes the old compaction pass entirely.
     """
 
     k: jnp.ndarray           # [L, B, Tmax, H, D]
     v: jnp.ndarray           # [L, B, Tmax, H, D]
     prefix_len: jnp.ndarray  # [B] int32
     start: jnp.ndarray       # [B] int32
-    cursor: jnp.ndarray      # scalar int32 -- next write column (shared)
+    cursor: jnp.ndarray      # scalar int32 -- next decode write (monotonic)
+    t0: jnp.ndarray          # scalar int32 -- first decode column
 
     @property
     def max_len(self) -> int:
@@ -319,14 +336,29 @@ class KVCache(NamedTuple):
         """[B] per-stream token position of the next write."""
         return self.prefix_len + (self.cursor - self.start)
 
+    @property
+    def write_col(self) -> jnp.ndarray:
+        """Scalar ring column of the next decode write."""
+        R = jnp.maximum(self.max_len - self.t0, 1)
+        return self.t0 + jnp.mod(self.cursor - self.t0, R)
+
     def valid_mask(self, through_cursor: bool = True) -> jnp.ndarray:
-        """[B, Tmax] bool key-validity mask (incl. column ``cursor`` when
-        ``through_cursor``, i.e. after the current step's write)."""
-        t = jnp.arange(self.max_len)[None, :]
+        """[B, Tmax] bool key-validity mask (incl. the write at ``cursor``
+        when ``through_cursor``). Ring column j holds the LATEST decode
+        write m < (hi - t0) with m % R == j; with no wrap this reduces to
+        m == j and the linear mask (t >= start) & (t < hi)."""
+        t = jnp.arange(self.max_len)[None, :]                  # [1, Tmax]
         hi = self.cursor + 1 if through_cursor else self.cursor
-        return (t < self.prefix_len[:, None]) | (
-            (t >= self.start[:, None]) & (t < hi)
+        R = jnp.maximum(self.max_len - self.t0, 1)
+        M = hi - self.t0                                       # decode writes
+        j = t - self.t0
+        m_star = M - 1 - jnp.mod(M - 1 - j, R)                 # latest write
+        abs_idx = self.t0 + m_star                             # abs decode pos
+        dec_valid = (
+            (j >= 0) & (j < jnp.minimum(M, R))
+            & (abs_idx >= self.start[:, None]) & (abs_idx < hi)
         )
+        return (t < self.prefix_len[:, None]) | dec_valid
 
 
 def make_cache(cfg: FlowLMConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
@@ -337,6 +369,7 @@ def make_cache(cfg: FlowLMConfig, batch: int, max_len: int, dtype=jnp.float32) -
         prefix_len=jnp.zeros(batch, dtype=jnp.int32),
         start=jnp.zeros(batch, dtype=jnp.int32),
         cursor=jnp.zeros((), dtype=jnp.int32),
+        t0=jnp.zeros((), dtype=jnp.int32),
     )
 
 
@@ -454,6 +487,7 @@ def prefill_init(
         prefix_len=lengths.astype(jnp.int32),
         start=jnp.full((B,), T, jnp.int32),
         cursor=jnp.asarray(T, jnp.int32),
+        t0=jnp.asarray(T, jnp.int32),
     )
     return cache, last
 
@@ -489,6 +523,7 @@ def prefill(
         prefix_len=lengths.astype(jnp.int32),
         start=jnp.full((B,), T, jnp.int32),
         cursor=jnp.asarray(T, jnp.int32),
+        t0=jnp.asarray(T, jnp.int32),
     )
     return new_cache, last
 
@@ -509,7 +544,8 @@ def decode_step(
     B, d = x.shape
     H, D = cfg.num_heads, cfg.head_dim
     pos = cache.pos          # [B] per-stream RoPE position
-    cursor = cache.cursor    # scalar write column
+    cursor = cache.write_col  # scalar ring write column (== cache.cursor
+    #                           until the decode region wraps; see KVCache)
     mask = cache.valid_mask(through_cursor=True)  # [B, Tmax]
 
     def layer(x, k_cache, v_cache, l, wl, select):
@@ -559,7 +595,7 @@ def decode_step(
             (jnp.arange(cfg.num_layers), lw),
         )
 
-    new_cache = cache._replace(k=k_cache, v=v_cache, cursor=cursor + 1)
+    new_cache = cache._replace(k=k_cache, v=v_cache, cursor=cache.cursor + 1)
     return new_cache, x
 
 

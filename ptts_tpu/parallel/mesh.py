@@ -112,6 +112,7 @@ def shard_cache(mesh: Mesh, cache):
         prefix_len=shard_batch_array(mesh, cache.prefix_len, batch_dim=0),
         start=shard_batch_array(mesh, cache.start, batch_dim=0),
         cursor=jax.device_put(cache.cursor, replicated(mesh)),
+        t0=jax.device_put(cache.t0, replicated(mesh)),
     )
 
 

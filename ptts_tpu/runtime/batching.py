@@ -8,11 +8,13 @@ scattered into the freed rows without touching the other streams. This is the
 reference has nothing comparable (hardwired batch 1, ptts.c:328-333).
 
 Cache geometry (see models/flowlm.KVCache): columns [0, prefix_budget) hold
-each slot's prompt K/V; decode columns grow from the shared cursor, so a slot
-admitted mid-flight simply gets start = cursor and its gap is masked. When
-the cursor reaches Tmax the cache is compacted by right-aligning every
-stream's decode columns against a fresh cursor -- one gather pass, amortized
-over hundreds of steps.
+each slot's prompt K/V; decode columns form a RING of width
+max_len - prefix_budget driven by the shared monotonic cursor, so a slot
+admitted mid-flight simply gets start = cursor and its gap is masked. The
+ring wraps transparently -- a recycled column's owner stream is necessarily
+finished because per-request frames <= noise_budget <= ring width -- so the
+pool never compacts and decode-attention traffic stays at ring width
+columns per frame no matter how long the server runs.
 
 Shapes stay static for jit: the pool is [B+1] rows where row B is a trash
 slot that absorbs padded admissions; admit groups are padded to
@@ -336,56 +338,6 @@ def admit_slots_ids(
                        lengths, te_rows, noise_rows, new_params, cfg, flags)
 
 
-@functools.partial(jax.jit, static_argnames=("prefix_budget",),
-                   donate_argnames=("cache",))
-def compact_cache(cache: flowlm.KVCache, done: jnp.ndarray,
-                  prefix_budget: int) -> flowlm.KVCache:
-    """Right-align every stream's decode columns against a fresh cursor.
-
-    Stream b's decode region [start_b, cursor) (n_b columns) moves to
-    [new_cursor - n_b, new_cursor) with new_cursor = prefix_budget + max n_b.
-    The validity invariant (prefix | [start, cursor)) is preserved, so this is
-    transparent to attention. One gather over the cache; run when the cursor
-    nears Tmax.
-
-    ``done`` [B] marks finished (or never-used) slots: their dead decode span
-    is reclaimed (n_b = 0), so a long-finished stream can't pin new_cursor at
-    the old cursor and defeat compaction.
-
-    The move is ONE-HOT MATMUL, not a gather: a take_along_axis over the
-    full [L, B, T, H, D] cache lowers to a per-element gather that measured
-    15.2 s per compaction on v5e (~170 MB/s effective). A per-stream
-    [W, W] permutation matrix contracted on the MXU moves the same bytes in
-    ~10 ms and is exact (each output column receives exactly one value
-    weighted 1.0; f32 accumulation of a single product is lossless).
-    Columns of the decode region outside [new_start, new_cursor) zero out --
-    they are invalid under the validity invariant, so attention never reads
-    them.
-    """
-    L, B, Tmax, H, D = cache.k.shape
-    T0 = prefix_budget
-    W = Tmax - T0
-    # decode cols per stream; finished slots contribute nothing
-    n = jnp.where(done, 0, cache.cursor - cache.start)
-    new_cursor = T0 + jnp.max(n)
-    new_start = new_cursor - n                        # [B]
-
-    shift = (new_start - cache.start)[:, None, None]  # [B, 1, 1] (either sign)
-    s = jnp.arange(W)[None, :, None]                  # source col (rel T0)
-    d = jnp.arange(W)[None, None, :]                  # dest col (rel T0)
-    ns = (new_start - T0)[:, None, None]
-    perm = ((d - s == shift) & (d >= ns) & (d < ns + n[:, None, None]))
-
-    def move(c):
-        dec = jnp.einsum("lbwhd,bwx->lbxhd", c[:, :, T0:],
-                         perm.astype(c.dtype),
-                         preferred_element_type=jnp.float32).astype(c.dtype)
-        return c.at[:, :, T0:].set(dec)
-
-    return cache._replace(k=move(cache.k), v=move(cache.v),
-                          start=new_start, cursor=new_cursor)
-
-
 class ContinuousBatcher:
     """Fixed-slot continuous batching server for one chip (or one mesh).
 
@@ -478,14 +430,23 @@ class ContinuousBatcher:
         # no per-frame host uploads)
         self.noise_budget = noise_budget or (max_len - prefix_budget)
         assert prefix_budget < max_len
+        # ring-safety invariant (flowlm.KVCache): a live stream's decode span
+        # is bounded by its request's max_frames <= noise_budget, so no live
+        # column is ever recycled as long as the budget fits the ring
+        assert self.noise_budget <= max_len - prefix_budget, (
+            f"noise_budget={self.noise_budget} exceeds the decode ring "
+            f"({max_len - prefix_budget} columns): a request could outlive "
+            f"its own KV columns; raise max_len"
+        )
 
         dt = engine.dtype
         cfg = self.cfg
         self.cache = flowlm.make_cache(cfg, self.B1, max_len, dt)
-        # decode columns start after the prefix region
+        # decode ring starts after the prefix region
         self.cache = self.cache._replace(
             cursor=jnp.asarray(prefix_budget, jnp.int32),
             start=jnp.full((self.B1,), prefix_budget, jnp.int32),
+            t0=jnp.asarray(prefix_budget, jnp.int32),
         )
         self.x = jnp.zeros((self.B1, cfg.d_model), dt)
         self.eos_step = jnp.full((self.B1,), -1, jnp.int32)
@@ -548,20 +509,16 @@ class ContinuousBatcher:
         self._refresh_params_dev()
         # host-blocking wall time per serving phase (step() bookkeeping;
         # read by tools/bench + profile runs)
-        self.phase_s = {"admit": 0.0, "dispatch": 0.0, "collect": 0.0,
-                        "compact": 0.0}
+        self.phase_s = {"admit": 0.0, "dispatch": 0.0, "collect": 0.0}
         self.n_admit_groups = 0
         self.n_steps = 0
 
-        # Host MIRRORS of device state, so the double-buffered step loop
-        # (dispatch frame N+1 before reading frame N's chunk) never has to
-        # sync the device mid-step. All are exact except _done_np, which
-        # lags the device by the one in-flight frame (EOS decisions arrive
-        # with the readback) -- everywhere it is consumed (admission,
-        # compaction) a lagged "still running" view is conservative-safe.
-        self._cursor_np = prefix_budget          # mirrors cache.cursor
-        self._start_np = np.full(self.B1, prefix_budget, np.int64)
-        self._frame_np = np.zeros(self.B1, np.int64)   # mirrors frame_idx
+        # Host MIRROR of the device done flags, so the double-buffered step
+        # loop (dispatch frame N+1 before reading frame N's chunk) never has
+        # to sync the device mid-step. It lags the device by the one
+        # in-flight frame (EOS decisions arrive with the readback) --
+        # everywhere it is consumed (admission, speculative dispatch) a
+        # lagged "still running" view is conservative-safe.
         self._done_np = np.ones(self.B1, bool)         # lagged device done
         self._pending = None                     # dispatched, not collected
         self._seq = 0                            # dispatch counter
@@ -818,10 +775,8 @@ class ContinuousBatcher:
             self._num_steps[slot] = req.num_steps
             self._eos_threshold[slot] = req.eos_threshold
             self._eos_min_frames[slot] = req.eos_min_frames
-            # host mirrors (see __init__): slot becomes live for every
+            # host mirror (see __init__): slot becomes live for every
             # dispatch with seq >= the current counter
-            self._start_np[slot] = self._cursor_np
-            self._frame_np[slot] = 0
             self._done_np[slot] = False
             self._admit_seq[slot] = self._seq
         self.n_admit_groups += 1
@@ -903,21 +858,6 @@ class ContinuousBatcher:
     # a frame's dispatch and its collection are sequence-tracked so the
     # stale in-flight frame can't clobber the new slot's liveness.
 
-    def _maybe_compact(self) -> None:
-        if self._cursor_np + self.frames_per_step <= self.max_len:
-            return
-        done_view = self._put_b(self._done_np)
-        self.cache = compact_cache(self.cache, done_view, self.prefix_budget)
-        # mirror the device's new layout exactly (same formula, same mask)
-        n = np.where(self._done_np, 0, self._cursor_np - self._start_np)
-        new_cursor = int(self.prefix_budget + n.max())
-        self._start_np = new_cursor - n
-        self._cursor_np = new_cursor
-        if new_cursor + self.frames_per_step > self.max_len:
-            raise api.PttsError(
-                "cache exhausted even after compaction; raise max_len"
-            )
-
     def _dispatch(self) -> None:
         """Queue one pool frame on the device; start the PCM host copy."""
         engine = self.engine
@@ -967,8 +907,6 @@ class ContinuousBatcher:
                 pass
         self._pending = (pcm, self.done, wd, self._seq)
         self._seq += 1
-        self._frame_np += k
-        self._cursor_np += k
 
     def _collect(self, pend) -> int:
         """Read an in-flight frame's chunk(s); finalize finished requests."""
@@ -1028,12 +966,10 @@ class ContinuousBatcher:
             if not have_active:
                 self.phase_s["admit"] += t1 - t0
                 return 0
-            self._maybe_compact()
             self._dispatch()
         pend, self._pending = self._pending, None
         if self.pipeline and not self._done_np[self.slot_rows].all():
             # speculative next frame: overlaps the readback in _collect()
-            self._maybe_compact()
             self._dispatch()
         t2 = t()
         out = self._collect(pend)

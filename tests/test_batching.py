@@ -126,11 +126,11 @@ def test_multi_frame_dispatch_eos(ctx):
 
 
 @pytest.mark.slow
-def test_compaction_reclaims_finished_slots(ctx):
-    """A stream that finished early must not pin the cursor: its dead decode
-    span (start stays fixed while the shared cursor advances with live
-    streams) is reclaimed by compaction (ADVICE r1: compact_cache must consult
-    ``done``)."""
+def test_ring_survives_early_finishers(ctx):
+    """A stream that finished early must not poison the ring: its dead
+    decode span (start stays fixed while the shared cursor advances with
+    live streams) is simply overwritten once the cursor laps it, and
+    later admissions into the freed slot decode correctly."""
     batcher = ContinuousBatcher(ctx.engine, slots=2, max_len=48,
                                 admit_chunk=2, prefix_budget=32)
 
@@ -138,11 +138,10 @@ def test_compaction_reclaims_finished_slots(ctx):
         return api.Params(num_frames=frames, num_steps=1, seed=seed, temp=0.4,
                           eos_enabled=False)
 
-    # A long (14 frames) + B short (2 frames): B's slot frees at cursor 34 but
-    # keeps start=32 while A drives the cursor to 46. C then D reuse the slot;
-    # D (admitted near cursor 46) forces a compaction at cursor 48 where the
-    # only LIVE span is D's 2 columns -- the old code computed max span over
-    # done slots too and raised "cache exhausted".
+    # R = 16 decode columns. A long (14 frames) + B short (2 frames): B's
+    # slot frees at cursor 34 but keeps start=32 while A drives the cursor
+    # to 46. C then D reuse the slot; D's columns wrap past decode index 16
+    # onto A/B's retired columns mid-stream.
     specs = [("hello world", 14), ("how low", 2), ("hello hello", 8),
              ("world world", 8)]
     rids = [batcher.submit(t, params=p(f, 70 + i))
@@ -156,16 +155,17 @@ def test_compaction_reclaims_finished_slots(ctx):
         _assert_pcm_close(results[rid], want.samples, msg=text, max_lsb=10)
 
 
-def test_cache_compaction(ctx):
-    """Force cursor exhaustion so compact_cache runs mid-stream; outputs must
+def test_decode_ring_wrap(ctx):
+    """Drive the shared cursor PAST the decode-ring width mid-stream so the
+    ring wraps (decode writes land back on retired columns); outputs must
     still match offline generation exactly."""
-    # max_len 48, prefix_budget 32 -> only 16 decode columns; 8 frames per
-    # request with 2 sequential requests forces a compaction.
+    # max_len 48, prefix_budget 32 -> 16 decode columns; 4 sequential
+    # 8-frame requests through 2 slots = 32 decode writes = 2 full laps.
     p = api.Params(num_frames=8, num_steps=1, seed=41, temp=0.4,
                    eos_enabled=False)
     batcher = ContinuousBatcher(ctx.engine, slots=2, max_len=48,
                                 admit_chunk=2, prefix_budget=32)
-    texts = ["hello world", "how low", "world world"]
+    texts = ["hello world", "how low", "world world", "hello hello"]
     rids = [batcher.submit(t, params=p) for t in texts]
     results = batcher.drain()
     for rid, text in zip(rids, texts):

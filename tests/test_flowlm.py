@@ -343,3 +343,81 @@ def test_lsd_decode_ragged_matches_lsd_decode():
         np.testing.assert_array_equal(
             np.asarray(ff_r[b]), np.asarray(ff[b]),
             err_msg=f"ragged first_flow != lsd_decode at n={n}")
+
+
+# -- decode-ring KV cache --------------------------------------------------------
+
+
+def test_ring_mask_equals_linear_mask_before_wrap():
+    """With cursor - t0 <= R the ring valid_mask must equal the linear mask
+    (prefix | [start, hi)) bit-for-bit -- the offline paths rely on it."""
+    Tmax, t0 = 12, 5
+    prefix_len = jnp.asarray([3, 5, 0], jnp.int32)
+    start = jnp.asarray([5, 7, 9], jnp.int32)
+    for cursor in range(t0, Tmax + 1):
+        cache = flowlm.make_cache(CFG, 3, Tmax)._replace(
+            prefix_len=prefix_len, start=start,
+            cursor=jnp.asarray(cursor, jnp.int32),
+            t0=jnp.asarray(t0, jnp.int32))
+        for through in (False, True):
+            hi = cursor + 1 if through else cursor
+            t = np.arange(Tmax)[None, :]
+            linear = (t < np.asarray(prefix_len)[:, None]) | (
+                (t >= np.asarray(start)[:, None]) & (t < hi))
+            got = np.asarray(cache.valid_mask(through_cursor=through))
+            # the through_cursor write may exceed Tmax columns only via the
+            # ring; before wrap (hi <= Tmax) the two must agree everywhere
+            if hi <= Tmax:
+                np.testing.assert_array_equal(got, linear,
+                                              err_msg=f"cursor={cursor}")
+
+
+def test_ring_mask_after_wrap_tracks_absolute_positions():
+    """Past one lap, ring column j holds the LATEST decode write m with
+    m % R == j; validity = that write's absolute index in [start, hi)."""
+    Tmax, t0 = 9, 5          # R = 4 decode columns
+    # stream 0 admitted at abs 11 (its live span <= R by construction);
+    # stream 1 retired (start pinned at 5, everything overwritten)
+    cache = flowlm.make_cache(CFG, 2, Tmax)._replace(
+        prefix_len=jnp.asarray([2, 4], jnp.int32),
+        start=jnp.asarray([11, 5], jnp.int32),
+        cursor=jnp.asarray(13, jnp.int32),     # decode writes m = 0..7
+        t0=jnp.asarray(t0, jnp.int32))
+    got = np.asarray(cache.valid_mask(through_cursor=True))  # hi = 14
+    # column j holds write m*(j): latest m < 9 with m % 4 == j
+    #   j=0 -> m=8 (abs 13), j=1 -> m=5 (abs 10), j=2 -> m=6 (abs 11),
+    #   j=3 -> m=7 (abs 12)
+    abs_idx = np.array([13, 10, 11, 12])
+    want0 = np.concatenate([np.arange(5) < 2, (abs_idx >= 11) & (abs_idx < 14)])
+    want1 = np.concatenate([np.arange(5) < 4, (abs_idx >= 5) & (abs_idx < 14)])
+    np.testing.assert_array_equal(got[0], want0)
+    np.testing.assert_array_equal(got[1], want1)
+
+
+def test_decode_step_ring_write_wraps(dweights):
+    """decode_step past one lap writes at t0 + (cursor - t0) % R and the new
+    K lands where the mask expects it (cross-checked against a wide cache
+    that never wraps)."""
+    T0, extra = 4, 3
+    prefix = randn(1, T0, CFG.d_model)
+    lengths = jnp.asarray([T0], jnp.int32)
+    # wide cache: enough room for 6 decode steps, never wraps
+    wide, x0 = flowlm.prefill_init(dweights, jnp.asarray(prefix), lengths,
+                                   CFG, T0 + 6)
+    # narrow cache: R = 3 decode columns, wraps twice over 6 steps
+    narrow, _ = flowlm.prefill_init(dweights, jnp.asarray(prefix), lengths,
+                                    CFG, T0 + extra)
+    xw = xn = x0
+    for i in range(6):
+        # keep the narrow stream's window inside R columns: advance start so
+        # the live span is at most R (mimics the batcher's bounded requests)
+        if i >= extra:
+            narrow = narrow._replace(
+                start=jnp.asarray([T0 + i - extra + 1], jnp.int32))
+            wide = wide._replace(
+                start=jnp.asarray([T0 + i - extra + 1], jnp.int32))
+        wide, xw = flowlm.decode_step(dweights, wide, xw, CFG)
+        narrow, xn = flowlm.decode_step(dweights, narrow, xn, CFG)
+        np.testing.assert_allclose(np.asarray(xn), np.asarray(xw),
+                                   rtol=2e-6, atol=2e-6,
+                                   err_msg=f"step {i}")
