@@ -438,6 +438,14 @@ class ContinuousBatcher:
             f"({max_len - prefix_budget} columns): a request could outlive "
             f"its own KV columns; raise max_len"
         )
+        # the opt-in 'blocked' decode attention reads [start, cursor) as a
+        # contiguous span -- wrong once the ring wraps (flowlm.KVCache)
+        if engine.flags.decode_impl == "blocked":
+            raise api.PttsError(
+                "PTTS_DECODE_IMPL=blocked assumes a non-wrapping KV cache "
+                "and cannot serve the continuous batcher's decode ring; "
+                "use 'auto' or 'einsum'"
+            )
 
         dt = engine.dtype
         cfg = self.cfg

@@ -109,6 +109,22 @@ def test_multi_frame_dispatch_matches_single(ctx):
         assert np.abs(a - c).max() <= 4, text  # jit-boundary fusion drift
 
 
+def test_blocked_decode_impl_rejected(ctx):
+    """The opt-in 'blocked' decode attention reads [start, cursor) as a
+    contiguous span -- wrong once the decode ring wraps, so the batcher
+    must refuse it at construction."""
+    import dataclasses
+    eng = ctx.engine
+    orig = eng.flags
+    eng.flags = dataclasses.replace(orig, decode_impl="blocked")
+    try:
+        with pytest.raises(api.PttsError, match="decode ring"):
+            ContinuousBatcher(eng, slots=1, max_len=48, admit_chunk=1,
+                              prefix_budget=32)
+    finally:
+        eng.flags = orig
+
+
 def test_multi_frame_dispatch_eos(ctx):
     """Per-request EOS mid-K-window: the finished stream's tail frames inside
     the same dispatch must not emit chunks, and the slot must be reused."""

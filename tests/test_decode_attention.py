@@ -1,10 +1,13 @@
 """Cursor-blocked decode attention vs the full-read masked einsum.
 
-decode_attention_blocked (ops/attention.py) is the production AR path for
-long caches (flags.decode_impl 'auto' -> 'blocked' at Tmax >= 256): it reads
-only cache blocks up to the cursor with an online softmax. These tests pin
-its validity semantics (prefix | [start, cursor]) against the masked-einsum
-oracle -- the same cases that guarded the removed round-1 Pallas kernel.
+decode_attention_blocked (ops/attention.py) is the OPT-IN long-cache
+experiment path (flags.decode_impl='blocked'; 'auto' resolves to the masked
+einsum, which measured 2.6x faster inside the AR while_loop -- flowlm.py
+dispatch notes): it reads only cache blocks up to the cursor with an online
+softmax, assuming a NON-WRAPPING cache (the continuous batcher's decode
+ring rejects it at construction). These tests pin its validity semantics
+(prefix | [start, cursor]) against the masked-einsum oracle -- the same
+cases that guarded the removed round-1 Pallas kernel.
 """
 
 import numpy as np
