@@ -190,7 +190,8 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
 
 def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                       max_seconds: float = 120.0, verbose: bool = True,
-                      frames_per_step: int = 1, collect_pcm: bool = True):
+                      frames_per_step: int = 1, collect_pcm: bool = True,
+                      admit_chunk: int = 32):
     """Sustained continuous-batching throughput on the chip.
 
     Drives the production ContinuousBatcher (admission -> fused
@@ -225,7 +226,8 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
     # columns hold every live span and the wrap recycles retired columns --
     # the pre-ring bench needed 256 columns of headroom for the same load
     # (2x the decode-attention cache traffic per frame)
-    b = ContinuousBatcher(eng, slots=slots, max_len=128, admit_chunk=32,
+    b = ContinuousBatcher(eng, slots=slots, max_len=128,
+                          admit_chunk=admit_chunk,
                           prefix_budget=T0, max_num_steps=1,
                           frames_per_step=frames_per_step,
                           collect_pcm=collect_pcm)

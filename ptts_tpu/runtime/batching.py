@@ -702,7 +702,14 @@ class ContinuousBatcher:
     # -- serving loop ----------------------------------------------------------
 
     def _admit(self) -> None:
-        admitted = False
+        # NO host fence after admission: the frame step consumes the admit
+        # program's (donated) outputs, so device-stream data dependencies
+        # already order them. An explicit np.asarray fence here was once a
+        # measured win on the remote tunnel, but after ids admission +
+        # device-drawn noise + the decode-ring cache it re-measured as pure
+        # loss in BOTH modes (device-bound 947 -> 1138 streams/chip, tunnel
+        # 276 -> 394; the RPC roundtrip serialized every admitting step --
+        # PERF.md round 3 "admission fence removal").
         for h in range(self.n_hosts):
             q = self.queues[h]
             if not q:
@@ -713,17 +720,6 @@ class ContinuousBatcher:
                 while free and q and len(group) < self.admit_chunk:
                     group.append((free.pop(0), q.popleft()))
                 self._admit_group(group, self._host_trash[h])
-                admitted = True
-        if admitted:
-            # fence the admissions before the next frame dispatch: leaving
-            # an admit program outstanding while the frame step (which
-            # consumes its donated outputs) queues behind it measured ~2x
-            # slower steps on remote-tunnel runtimes (PERF.md round 3). ONE
-            # fence for the whole admission phase -- each np.asarray is a
-            # full RPC roundtrip through the tunnel, so per-group fences
-            # cost ~20 ms apiece at multi-group steps. The read is 4 slots
-            # of eos_step (an admit output), microseconds once admit is done.
-            np.asarray(self.eos_step[:4])
 
     def _admit_group(self, group: List[Tuple[int, Request]],
                      trash_row: int) -> None:
