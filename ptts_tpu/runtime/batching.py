@@ -898,12 +898,11 @@ class ContinuousBatcher:
                     num_steps, k=k, flags=engine.flags, emit_i16=True,
                 )
             )  # pcm [k, B, S]; wd [k, B] per-frame pre-step done
-        if self.pipeline:
-            # fence: see _admit's note. Only the speculative double-buffered
-            # loop needs it -- the serial loop collects (and therefore fully
-            # waits on) this frame immediately after dispatch, so an extra
-            # [:4] read here is just one more ~20 ms RPC roundtrip per step.
-            np.asarray(self.done[:4])
+        # no post-dispatch fence: like the admission fence (see _admit), the
+        # [:4] done-read here re-measured as a small consistent loss in both
+        # modes once admission got cheap (A/B on chip: device-bound 1066 ->
+        # 1092, tunnel 374 -> 388 streams/chip) -- _collect's done readback
+        # right after is the loop's real wait point anyway.
         if self.collect_pcm:
             try:  # start the PCM transfer as early as possible
                 pcm.copy_to_host_async()
