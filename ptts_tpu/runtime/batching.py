@@ -70,9 +70,6 @@ class _QueueView:
     def __bool__(self) -> bool:
         return any(self._qs)
 
-    def append(self, req) -> None:  # pragma: no cover - prefer enqueue()
-        self._qs[0].append(req)
-
     def popleft(self):
         for q in self._qs:
             if q:
@@ -432,12 +429,14 @@ class ContinuousBatcher:
         assert prefix_budget < max_len
         # ring-safety invariant (flowlm.KVCache): a live stream's decode span
         # is bounded by its request's max_frames <= noise_budget, so no live
-        # column is ever recycled as long as the budget fits the ring
-        assert self.noise_budget <= max_len - prefix_budget, (
-            f"noise_budget={self.noise_budget} exceeds the decode ring "
-            f"({max_len - prefix_budget} columns): a request could outlive "
-            f"its own KV columns; raise max_len"
-        )
+        # column is ever recycled as long as the budget fits the ring.
+        # An explicit raise (not assert): the check must survive python -O.
+        if self.noise_budget > max_len - prefix_budget:
+            raise api.PttsError(
+                f"noise_budget={self.noise_budget} exceeds the decode ring "
+                f"({max_len - prefix_budget} columns): a request could "
+                f"outlive its own KV columns; raise max_len"
+            )
         # the opt-in 'blocked' decode attention reads [start, cursor) as a
         # contiguous span -- wrong once the ring wraps (flowlm.KVCache)
         if engine.flags.decode_impl == "blocked":
@@ -674,7 +673,28 @@ class ContinuousBatcher:
         """Queue a prepared Request for admission (cheap; lock-holding ok).
 
         ``host`` pins the request to one host group's slot rows (multi-host
-        mesh); default routes to the group with the most headroom."""
+        mesh); default routes to the group with the most headroom.
+
+        The ring-safety invariant is re-validated HERE, not only in
+        prepare(): a directly-enqueued over-budget request would otherwise
+        silently recycle live decode-ring columns mid-stream (the admit
+        scatter clamps rather than errors)."""
+        if req.max_frames > self.noise_budget:
+            raise api.PttsError(
+                f"request rid={req.rid} needs {req.max_frames} frames > pool "
+                f"noise_budget {self.noise_budget} (raise it at construction)"
+            )
+        if req.noise is not None and len(req.noise) < req.max_frames:
+            raise api.PttsError(
+                f"request rid={req.rid} carries {len(req.noise)} noise rows "
+                f"< max_frames {req.max_frames}: the tail frames would "
+                f"integrate zero noise"
+            )
+        if req.num_steps > self.max_num_steps:
+            raise api.PttsError(
+                f"request rid={req.rid} num_steps {req.num_steps} > pool "
+                f"max_num_steps {self.max_num_steps}"
+            )
         h = self._route_host() if host is None else host
         self.queues[h].append(req)
         self.chunks[req.rid] = []
@@ -724,7 +744,13 @@ class ContinuousBatcher:
     def _admit_group(self, group: List[Tuple[int, Request]],
                      trash_row: int) -> None:
         # partition by admit program variant: (prompt as ids vs host prefix)
-        # x (noise drawn on device vs host-uploaded parity rows)
+        # x (noise drawn on device vs host-uploaded parity rows). A MIXED
+        # group pays one full-chunk-padded admit program per variant present
+        # (worst case 4), halving admission throughput vs a uniform group --
+        # acceptable because production traffic is uniform (seed=-1 ids
+        # requests); host-noise rows exist for parity/debug only. If mixed
+        # traffic ever matters, blend per-slot host/device noise in one
+        # program instead of partitioning.
         for by_ids in (True, False):
             for dev_noise in (True, False):
                 sub = [g for g in group

@@ -27,6 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FlowLMConfig, KernelFlags, MimiConfig
+from ..io.wav import Audio
+from ..models import flowlm, mimi
+from ..rng import frame_noise
+from ..text import estimate_frames, prepare_text
+from ..utils import sanitize
+from ..utils.timing import span
+from .. import api
 
 
 def flags_from_env() -> KernelFlags:
@@ -44,13 +51,6 @@ def flags_from_env() -> KernelFlags:
         layer_impl=os.environ.get("PTTS_LAYER_IMPL", "auto"),
         validate=os.environ.get("PTTS_VALIDATE", "0") == "1",
     )
-from ..io.wav import Audio
-from ..models import flowlm, mimi
-from ..rng import frame_noise
-from ..text import estimate_frames, prepare_text
-from ..utils import sanitize
-from ..utils.timing import span
-from .. import api
 
 
 def _round_up(x: int, m: int) -> int:

@@ -228,6 +228,39 @@ def test_num_steps_above_pool_cap_rejected(ctx):
         batcher.submit("hello", params=api.Params(num_frames=2, num_steps=3))
 
 
+def test_direct_enqueue_revalidates_ring_safety(ctx):
+    """enqueue() must enforce the ring-safety invariant on raw Requests, not
+    only on prepare()-built ones: an over-budget direct enqueue (the pattern
+    bench.py uses) would otherwise silently recycle live decode-ring columns
+    mid-stream instead of failing loudly."""
+    import dataclasses
+    batcher = ContinuousBatcher(ctx.engine, slots=2, max_len=96,
+                                admit_chunk=2, prefix_budget=32,
+                                max_num_steps=2)
+    # explicit seed -> host-drawn parity noise rows travel on the Request
+    ok = batcher.prepare("hello", params=api.Params(num_frames=2, num_steps=1,
+                                                    seed=7))
+
+    over_frames = dataclasses.replace(
+        ok, max_frames=batcher.noise_budget + 1, noise=None)
+    with pytest.raises(api.PttsError, match="noise_budget"):
+        batcher.enqueue(over_frames)
+
+    assert ok.noise is not None
+    short_noise = dataclasses.replace(ok, noise=ok.noise[:1], max_frames=2)
+    with pytest.raises(api.PttsError, match="noise rows"):
+        batcher.enqueue(short_noise)
+
+    over_steps = dataclasses.replace(ok, num_steps=batcher.max_num_steps + 1)
+    with pytest.raises(api.PttsError, match="max_num_steps"):
+        batcher.enqueue(over_steps)
+
+    # the untouched original must still admit and run
+    rid = batcher.enqueue(ok)
+    results = batcher.drain()
+    assert results[rid].frames == 2
+
+
 @pytest.mark.slow
 def test_pipelined_equals_serial_batcher(ctx):
     """Double-buffered step loop (dispatch N+1 before collecting N) must

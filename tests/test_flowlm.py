@@ -365,11 +365,26 @@ def test_ring_mask_equals_linear_mask_before_wrap():
             linear = (t < np.asarray(prefix_len)[:, None]) | (
                 (t >= np.asarray(start)[:, None]) & (t < hi))
             got = np.asarray(cache.valid_mask(through_cursor=through))
-            # the through_cursor write may exceed Tmax columns only via the
-            # ring; before wrap (hi <= Tmax) the two must agree everywhere
             if hi <= Tmax:
+                # before wrap the ring mask must equal the linear mask
                 np.testing.assert_array_equal(got, linear,
                                               err_msg=f"cursor={cursor}")
+            else:
+                # the FIRST wrapping write: cursor=Tmax, through=True ->
+                # hi = Tmax+1. The write at abs cursor lands in ring column
+                # t0 (R = Tmax - t0 columns, m = cursor - t0 = R, R % R = 0),
+                # overwriting abs t0; every other decode column j still holds
+                # abs j. Validity = prefix | abs in [start, hi).
+                assert (cursor, through) == (Tmax, True)
+                abs_idx = np.arange(Tmax)
+                abs_idx = abs_idx.copy()
+                abs_idx[t0] = cursor  # column t0 now holds the wrapped write
+                t = abs_idx[None, :]
+                want = (np.arange(Tmax)[None, :]
+                        < np.asarray(prefix_len)[:, None]) | (
+                    (t >= np.asarray(start)[:, None]) & (t < hi))
+                np.testing.assert_array_equal(
+                    got, want, err_msg="first wrapping write (cursor=Tmax)")
 
 
 def test_ring_mask_after_wrap_tracks_absolute_positions():

@@ -72,17 +72,78 @@ def run_c_binary(binary: str, model_dir: str, prompt: str, frames: int,
     return {k: np.fromfile(v, dtype="<f4") for k, v in paths.items()}
 
 
-def run_torch(model_dir: str, prompt: str, frames: int):
-    """Upstream PyTorch pocket-tts, if installed (reference parity oracle)."""
+def run_torch(model_dir: str, prompt: str, frames: int, steps: int = 4,
+              seed: int = 123):
+    """Upstream PyTorch pocket-tts step-through driver (reference parity
+    oracle; role of /root/reference/tools/flowlm_parity.py:38-100).
+
+    Steps the upstream ``TTSModel`` flow-LM one frame at a time at temp=0
+    (deterministic: each Euler solve starts from x0=0, so no RNG enters the
+    latent path) and collects the same three taps our ``--flow-test`` CLI
+    dumps: N latent frames, the BOS-position backbone output (``cond``), and
+    one flow_net evaluation at (s=0, t=1/steps, x0=0) (``flow``).
+
+    Returns None when torch / pocket_tts aren't importable so the caller can
+    fall through to a SKIP (zero-egress CI can't install them)."""
     try:
-        import torch  # noqa: F401
-        from pocket_tts import TTSModel  # type: ignore
+        import torch
+        from pocket_tts.models.tts_model import (  # type: ignore
+            TTSModel, prepare_text_prompt)
+        from pocket_tts.modules.stateful_module import init_states  # type: ignore
+        from pocket_tts.utils.config import load_config  # type: ignore
     except ImportError:
         return None
-    raise NotImplementedError(
-        "pocket_tts package found but the step-through driver is not wired; "
-        "use --c-binary or --other-dumps"
-    )
+
+    cfg_path = os.path.join(model_dir, "config.yaml")
+    weights = None
+    for name in sorted(os.listdir(model_dir)):
+        if name.startswith("tts_") and name.endswith(".safetensors"):
+            weights = os.path.join(model_dir, name)
+    if weights is None or not os.path.isfile(cfg_path):
+        print("SKIP: --torch needs config.yaml + tts_*.safetensors in model dir",
+              file=sys.stderr)
+        return None
+
+    cfg = load_config(cfg_path)
+    cfg.weights_path = weights
+    cfg.weights_path_without_voice_cloning = weights
+    # temp=0, no noise clamp: the deterministic regime our --flow-test uses
+    model = TTSModel._from_pydantic_config_with_weights(cfg, 0.0, steps, None, 1e9)
+    model.eval()
+    torch.manual_seed(seed)
+
+    text, _ = prepare_text_prompt(prompt)
+    prepared = model.flow_lm.conditioner.prepare(text)
+    state = init_states(model.flow_lm, batch_size=1, sequence_length=1000)
+    model._run_flow_lm_and_increment_step(model_state=state,
+                                          text_tokens=prepared.tokens)
+
+    # cond/flow taps on a CLONED state so the latent walk below is unaffected
+    probe = {mk: {sk: sv.clone() for sk, sv in mv.items()}
+             for mk, mv in state.items()}
+    ldim, dim = model.flow_lm.ldim, model.flow_lm.dim
+    bos = model.flow_lm.bos_emb.reshape(1, 1, ldim).to(model.flow_lm.dtype)
+    h = model.flow_lm.backbone(
+        model.flow_lm.input_linear(bos),
+        torch.empty((1, 0, dim), dtype=model.flow_lm.dtype), bos,
+        model_state=probe,
+    ).to(torch.float32)[:, -1]
+    cond = h[0].detach().cpu().numpy().astype(np.float32)
+    flow = model.flow_lm.flow_net(
+        h, torch.zeros((1, 1), dtype=h.dtype),
+        torch.full((1, 1), 1.0 / max(steps, 1), dtype=h.dtype),
+        torch.zeros((1, ldim), dtype=h.dtype),
+    )[0].detach().cpu().numpy().astype(np.float32)
+
+    nan_in = torch.full((1, 1, ldim), float("nan"), dtype=model.flow_lm.dtype)
+    latents, back_in = [], nan_in  # NaN input == BOS frame upstream
+    with torch.no_grad():
+        for _ in range(frames):
+            latent, _eos = model._run_flow_lm_and_increment_step(
+                model_state=state, backbone_input_latents=back_in)
+            latents.append(latent[0, 0].cpu().numpy().astype(np.float32))
+            back_in = latent
+    return {"latents": np.concatenate(latents), "cond": cond, "flow": flow}
 
 
 def main() -> int:
@@ -116,7 +177,8 @@ def main() -> int:
                 for k in ("latents", "cond", "flow")
             }
         elif args.torch:
-            other = run_torch(args.model_dir, args.prompt, args.frames)
+            other = run_torch(args.model_dir, args.prompt, args.frames,
+                              seed=args.seed)
 
         if other is None:
             print("SKIP: no comparison source (use --c-binary / --other-dumps)",
