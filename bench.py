@@ -59,14 +59,31 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
     frame_bucket = ((frames + 63) // 64) * 64
     max_len = T0 + frame_bucket
 
-    # Weight upload is ASYNC (jnp.asarray returns before the transfer lands);
-    # without an explicit fence the upload tail -- hundreds of MB over this
-    # environment's ~32 MB/s tunnel, highly variable -- blocks the FIRST
-    # pipeline execution and masquerades as compile time (round-3 runs
-    # recorded 220-400 s of "compile" that was really host RNG + transfer).
+    # Cold-start decomposition (round 4): the FIRST device interaction of a
+    # process pays a large, highly variable transport attach cost (measured
+    # 30-500 s through the remote tunnel; zero on a local TPU host). Warm
+    # the attach on a background thread while the host draws the random
+    # weights, and report it separately -- weights_s then measures the
+    # actual production upload path (one packed transfer, utils/packing.py;
+    # the per-leaf path it replaced measured 25.5 s vs 7.1 s packed for the
+    # same 221 MB).
+    import threading
+
+    t_a = time.perf_counter()
+    attach_s = [0.0]
+
+    def _attach():
+        float(jnp.sum(jax.device_put(np.ones(8, np.float32))))
+        attach_s[0] = time.perf_counter() - t_a
+
+    th = threading.Thread(target=_attach, daemon=True)
+    th.start()
+    fw_h = flowlm.random_weights(cfg, seed=0)
+    mw_h = mimi.random_weights(mcfg, seed=1)
+    th.join()
     t_w = time.perf_counter()
-    fw = flowlm.to_device(flowlm.random_weights(cfg, seed=0), dtype, cfg)
-    mw = mimi.to_device(mimi.random_weights(mcfg, seed=1), dtype, mcfg)
+    fw = flowlm.to_device(fw_h, dtype, cfg)
+    mw = mimi.to_device(mw_h, dtype, mcfg)
     jax.block_until_ready(jax.tree.leaves(fw) + jax.tree.leaves(mw))
     # belt and braces: block_until_ready is unreliable through the tunnel;
     # a scalar readback off the largest weight is a true fence
@@ -179,6 +196,7 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
             "wall_s": round(wall_on, 4),
             "compile_s": round(compile_on + compile_off, 1),
             "weights_s": round(weights_s, 1),
+            "attach_s": round(attach_s[0], 1),
             "platform": jax.default_backend(),
             "eos_off_streams": round(float(streams_off), 2),
             "eos_on_vs_off": round(float(streams_on / streams_off), 4),
@@ -191,7 +209,8 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
 def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                       max_seconds: float = 120.0, verbose: bool = True,
                       frames_per_step: int = 1, collect_pcm: bool = True,
-                      admit_chunk: int = 32):
+                      admit_chunk: int = 32, pipeline: bool = False,
+                      max_len: int = 128, label: str = ""):
     """Sustained continuous-batching throughput on the chip.
 
     Drives the production ContinuousBatcher (admission -> fused
@@ -226,11 +245,11 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
     # columns hold every live span and the wrap recycles retired columns --
     # the pre-ring bench needed 256 columns of headroom for the same load
     # (2x the decode-attention cache traffic per frame)
-    b = ContinuousBatcher(eng, slots=slots, max_len=128,
+    b = ContinuousBatcher(eng, slots=slots, max_len=max_len,
                           admit_chunk=admit_chunk,
                           prefix_budget=T0, max_num_steps=1,
                           frames_per_step=frames_per_step,
-                          collect_pcm=collect_pcm)
+                          collect_pcm=collect_pcm, pipeline=pipeline)
     rng = np.random.default_rng(0)
     # ids admission path (the production prepare() route): one voice cond
     # cached on device, each request ships token ids only -- a host-built
@@ -324,8 +343,12 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
     streams = frames_done / mcfg.frame_rate / wall
     p50 = float(np.percentile(first_chunk_ms, 50)) if first_chunk_ms else -1.0
     if verbose:
+        tags = "".join(
+            [" (device-bound)" if not collect_pcm else "",
+             " (pipelined)" if pipeline else "",
+             f" [{label}]" if label else ""])
         print(
-            f"[bench] batcher{'' if collect_pcm else ' (device-bound)'}: "
+            f"[bench] batcher{tags}: "
             f"slots={slots} dtype={dtype_name} "
             f"fps={frames_per_step} "
             f"finished={finished} frames={frames_done} wall={wall:.1f}s -> "
@@ -392,10 +415,23 @@ def main() -> int:
         result["detail"]["batcher_lowlat_p50_ms"] = round(p50_l, 1)
         # device-bound mode: PCM stays on the chip (only done flags read
         # back) -- what co-located serving would sustain, where the bulk
-        # PCM leaves over local DMA instead of the remote tunnel RPC
-        streams_d, _, _, _ = run_batcher_bench(
-            bslots, dtype, breqs, frames_per_step=bfps, collect_pcm=False)
+        # PCM leaves over local DMA instead of the remote tunnel RPC.
+        # Operating point from the round-4 slots x K x mode sweep
+        # (tools/bench_batcher_sweep.py, PERF.md): slots=384, K=8,
+        # PIPELINED (dispatch step N+1 before collecting N -- the done
+        # readback overlaps the next step's compute). The serial point is
+        # the low-latency alternative (p50 ~120 ms vs ~165 ms).
+        dslots = int(os.environ.get("PTTS_BENCH_DEVICE_SLOTS", "384"))
+        dreqs = breqs * dslots // max(bslots, 1)
+        streams_d, p50_d, _, _ = run_batcher_bench(
+            dslots, dtype, dreqs, frames_per_step=bfps, collect_pcm=False,
+            pipeline=True)
         result["detail"]["batcher_device_streams"] = round(streams_d, 2)
+        result["detail"]["batcher_device_p50_ms"] = round(p50_d, 1)
+        streams_ds, p50_ds, _, _ = run_batcher_bench(
+            dslots, dtype, dreqs, frames_per_step=bfps, collect_pcm=False)
+        result["detail"]["batcher_device_serial_streams"] = round(streams_ds, 2)
+        result["detail"]["batcher_device_serial_p50_ms"] = round(p50_ds, 1)
     except Exception as e:  # never sink the headline metric
         print(f"[bench] batcher bench failed: {e}", file=sys.stderr)
 

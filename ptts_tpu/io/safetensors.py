@@ -171,6 +171,23 @@ class SafetensorsFile:
             raise KeyError(name)
         return self.get_f32(t)
 
+    def get_bf16(self, t: TensorEntry) -> np.ndarray:
+        """Tensor as ml_dtypes.bfloat16, for bf16 serving engines.
+
+        BF16-stored tensors are ZERO-COPY bit reinterpretations of the mmap
+        (no host conversion, half the upload bytes of the f32 route -- the
+        cold-start path, engine.py). F32/F16-stored tensors round-to-nearest
+        -even, identical to what jnp.asarray(get_f32(t), bf16) produces.
+        """
+        import ml_dtypes
+
+        v = self.view(t)
+        if t.dtype == "BF16":
+            return v.view(ml_dtypes.bfloat16)
+        if t.dtype in ("F32", "F16"):
+            return v.astype(ml_dtypes.bfloat16)
+        raise ValueError(f"tensor {t.name}: cannot convert {t.dtype} to bf16")
+
     # -- introspection ------------------------------------------------------
 
     def format_tensor(self, t: TensorEntry) -> str:

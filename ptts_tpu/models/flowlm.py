@@ -109,37 +109,51 @@ def _find(st, name: str):
     return None
 
 
-def _get(st, name: str, optional: bool = False) -> Optional[np.ndarray]:
+def _get(st, name: str, optional: bool = False,
+         dtype=np.float32) -> Optional[np.ndarray]:
     t = _find(st, name)
     if t is None:
         if optional:
             return None
         raise KeyError(f"Missing tensor: {name}")
-    return st.get_f32(t)
+    if dtype == np.float32:
+        return st.get_f32(t)
+    return st.get_bf16(t)
 
 
-def load_weights(st, cfg: FlowLMConfig = FlowLMConfig()) -> Weights:
+def load_weights(st, cfg: FlowLMConfig = FlowLMConfig(),
+                 dtype=np.float32) -> Weights:
     """Load the FlowLM weight pytree from a SafetensorsFile.
 
     Tensor names and shapes follow ptts_flowlm_load
     (/root/reference/ptts_flowlm.c:866-957).
+
+    ``dtype=ml_dtypes.bfloat16`` is the bf16-serving cold-start path:
+    BF16-stored tensors come out as ZERO-COPY views of the checkpoint mmap
+    (no host f32 round trip, half the upload bytes), other storage dtypes
+    round-to-nearest-even -- bit-identical to converting the f32 load
+    (safetensors.get_bf16).
     """
     L = cfg.num_layers
 
     def stack(fmt: str) -> np.ndarray:
-        return np.stack([_get(st, fmt.format(i)) for i in range(L)])
+        return np.stack([_get(st, fmt.format(i), dtype=dtype)
+                         for i in range(L)])
+
+    def get(name: str, optional: bool = False):
+        return _get(st, name, optional=optional, dtype=dtype)
 
     w: Weights = {
-        "embed": _get(st, "conditioner.embed.weight"),
-        "speaker_proj": _get(st, "speaker_proj_weight", optional=True),
-        "emb_std": _get(st, "emb_std"),
-        "emb_mean": _get(st, "emb_mean"),
-        "bos_emb": _get(st, "bos_emb"),
-        "input_linear": _get(st, "input_linear.weight"),
-        "out_norm_w": _get(st, "out_norm.weight"),
-        "out_norm_b": _get(st, "out_norm.bias"),
-        "out_eos_w": _get(st, "out_eos.weight").reshape(-1),
-        "out_eos_b": _get(st, "out_eos.bias").reshape(()),
+        "embed": get("conditioner.embed.weight"),
+        "speaker_proj": get("speaker_proj_weight", optional=True),
+        "emb_std": get("emb_std"),
+        "emb_mean": get("emb_mean"),
+        "bos_emb": get("bos_emb"),
+        "input_linear": get("input_linear.weight"),
+        "out_norm_w": get("out_norm.weight"),
+        "out_norm_b": get("out_norm.bias"),
+        "out_eos_w": get("out_eos.weight").reshape(-1),
+        "out_eos_b": get("out_eos.bias").reshape(()),
         "in_proj": stack("transformer.layers.{}.self_attn.in_proj.weight"),
         "out_proj": stack("transformer.layers.{}.self_attn.out_proj.weight"),
         "norm1_w": stack("transformer.layers.{}.norm1.weight"),
@@ -151,17 +165,17 @@ def load_weights(st, cfg: FlowLMConfig = FlowLMConfig()) -> Weights:
     }
 
     def tstack(fmt: str, n: int, optional: bool = False):
-        vals = [_get(st, fmt.format(i), optional=optional) for i in range(n)]
+        vals = [_get(st, fmt.format(i), optional=optional, dtype=dtype) for i in range(n)]
         if any(v is None for v in vals):
             return None
         return np.stack(vals)
 
     D = cfg.flow_depth
     w["flow"] = {
-        "cond_w": _get(st, "flow_net.cond_embed.weight"),
-        "cond_b": _get(st, "flow_net.cond_embed.bias"),
-        "input_w": _get(st, "flow_net.input_proj.weight"),
-        "input_b": _get(st, "flow_net.input_proj.bias"),
+        "cond_w": get("flow_net.cond_embed.weight"),
+        "cond_b": get("flow_net.cond_embed.bias"),
+        "input_w": get("flow_net.input_proj.weight"),
+        "input_b": get("flow_net.input_proj.bias"),
         "time": {
             "lin0_w": tstack("flow_net.time_embed.{}.mlp.0.weight", 2),
             "lin0_b": tstack("flow_net.time_embed.{}.mlp.0.bias", 2),
@@ -180,10 +194,10 @@ def load_weights(st, cfg: FlowLMConfig = FlowLMConfig()) -> Weights:
             "ada_w": tstack("flow_net.res_blocks.{}.adaLN_modulation.1.weight", D),
             "ada_b": tstack("flow_net.res_blocks.{}.adaLN_modulation.1.bias", D),
         },
-        "final_linear_w": _get(st, "flow_net.final_layer.linear.weight"),
-        "final_linear_b": _get(st, "flow_net.final_layer.linear.bias"),
-        "final_ada_w": _get(st, "flow_net.final_layer.adaLN_modulation.1.weight"),
-        "final_ada_b": _get(st, "flow_net.final_layer.adaLN_modulation.1.bias"),
+        "final_linear_w": get("flow_net.final_layer.linear.weight"),
+        "final_linear_b": get("flow_net.final_layer.linear.bias"),
+        "final_ada_w": get("flow_net.final_layer.adaLN_modulation.1.weight"),
+        "final_ada_b": get("flow_net.final_layer.adaLN_modulation.1.bias"),
     }
     return w
 
@@ -265,13 +279,12 @@ def to_device(w: Weights, dtype=jnp.float32,
     w["in_proj"] = permute_qk_rows_for_rope(
         np.asarray(w["in_proj"]), cfg.num_heads, cfg.head_dim
     )
+    # one packed transfer instead of ~60 per-leaf uploads: the per-leaf RPCs
+    # measured ~0.4 MB/s effective through a remote tunnel vs 67 MB/s for a
+    # single buffer (utils/packing.py, PERF.md round 4)
+    from ..utils.packing import tree_to_device
 
-    def conv(x):
-        if x is None:
-            return None
-        return jnp.asarray(x, dtype=dtype)
-
-    return jax.tree.map(conv, w, is_leaf=lambda x: x is None)
+    return tree_to_device(w, dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -274,12 +274,12 @@ def to_device(w: Weights, dtype=jnp.float32,
     )
     w["transformer"] = tr
 
-    def conv(x):
-        if x is None or isinstance(x, int):
-            return x  # stage strides stay static Python ints
-        return jnp.asarray(x, dtype=dtype)
+    # one packed transfer (stage strides pass through as static Python
+    # ints); see utils/packing.py + PERF.md round 4 for the per-leaf RPC
+    # measurement this replaces
+    from ..utils.packing import tree_to_device
 
-    return jax.tree.map(conv, w, is_leaf=lambda x: x is None)
+    return tree_to_device(w, dtype)
 
 
 # ---------------------------------------------------------------------------

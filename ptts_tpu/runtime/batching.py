@@ -49,6 +49,11 @@ from ..rng import frame_noise
 from ..text import estimate_frames, prepare_text
 from .streaming import fused_stream_step, fused_stream_steps
 
+# shared zero-length chunk: device-bound collection appends one as a
+# "stream started" marker (PCM stays on chip; see _collect_counts)
+_EMPTY_I16 = np.zeros(0, np.int16)
+_EMPTY_I16.setflags(write=False)
+
 
 class _QueueView:
     """Deque-like façade over the per-host admission queues.
@@ -530,6 +535,7 @@ class ContinuousBatcher:
         self._pending = None                     # dispatched, not collected
         self._seq = 0                            # dispatch counter
         self._admit_seq = np.full(self.B1, -1, np.int64)
+        self._slot_nframes = np.zeros(self.B1, np.int64)  # device-bound count
         self.pipeline = pipeline
 
     # -- device placement ------------------------------------------------------
@@ -809,6 +815,7 @@ class ContinuousBatcher:
             # dispatch with seq >= the current counter
             self._done_np[slot] = False
             self._admit_seq[slot] = self._seq
+            self._slot_nframes[slot] = 0
         self.n_admit_groups += 1
         return slot_ids, te_rows, noise, new_params
 
@@ -929,11 +936,18 @@ class ContinuousBatcher:
         # modes once admission got cheap (A/B on chip: device-bound 1066 ->
         # 1092, tunnel 374 -> 388 streams/chip) -- _collect's done readback
         # right after is the loop's real wait point anyway.
-        if self.collect_pcm:
-            try:  # start the PCM transfer as early as possible
+        try:
+            # start every readback the collect will need as early as
+            # possible: the done/was_done flag copies otherwise pay a full
+            # blocking RPC roundtrip EACH at collect time (the was_done
+            # fetch alone measured 26.7 ms/step at 384 slots x K=8 through
+            # the tunnel -- PERF.md round 4)
+            if self.collect_pcm:
                 pcm.copy_to_host_async()
-            except Exception:
-                pass
+            self.done.copy_to_host_async()
+            wd.copy_to_host_async()
+        except Exception:
+            pass
         self._pending = (pcm, self.done, wd, self._seq)
         self._seq += 1
 
@@ -953,6 +967,7 @@ class ContinuousBatcher:
         self.phase_s["c_wait"] = self.phase_s.get("c_wait", 0.0) + (t1 - t0)
         self.phase_s["c_pcm"] = self.phase_s.get("c_pcm", 0.0) + (t2 - t1)
         was_done = np.asarray(was_done_dev)  # [B] or [k, B]
+        self.phase_s["c_wd"] = self.phase_s.get("c_wd", 0.0) + (t() - t2)
         if pcm_np.ndim == 2:  # single-frame dispatch
             pcm_np = pcm_np[None]
         if was_done.ndim == 1:
@@ -962,6 +977,8 @@ class ContinuousBatcher:
         fresh = self._admit_seq > seq
         self._done_np = np.where(fresh, self._done_np, done_np)
         self._done_np[self._dead_rows] = True
+        if not self.collect_pcm:
+            return self._collect_counts(done_np, was_done, fresh)
         for slot in self.slot_rows:
             req = self.slot_req[slot]
             if req is None or fresh[slot]:
@@ -979,6 +996,30 @@ class ContinuousBatcher:
                 )
                 self.slot_req[slot] = None
         return sum(1 for s in self.slot_req if s is not None)
+
+    def _collect_counts(self, done_np, was_done, fresh) -> int:
+        """Device-bound collect: PCM never left the chip, so the per-slot
+        chunk routing reduces to vectorized frame counting. The per-slot
+        Python loop it replaces was ~25 ms/step at 384 slots x K=8 -- a
+        third of the whole pipelined step wall (PERF.md round 4)."""
+        live = np.fromiter((r is not None for r in self.slot_req),
+                           bool, len(self.slot_req))
+        act = live & ~fresh
+        emit = np.where(act, (~was_done).sum(axis=0), 0)  # frames this step
+        started = act & (self._slot_nframes == 0) & (emit > 0)
+        self._slot_nframes += emit
+        for slot in np.nonzero(started)[0]:
+            # placeholder so first-chunk trackers see the stream start
+            self.chunks[self.slot_req[slot].rid].append(_EMPTY_I16)
+        for slot in np.nonzero(act & done_np)[0]:
+            req = self.slot_req[slot]
+            n = int(self._slot_nframes[slot])
+            self._slot_nframes[slot] = 0
+            self.chunks.pop(req.rid, None)
+            self.finished[req.rid] = Result(
+                rid=req.rid, pcm_i16=np.zeros(0, np.int16), frames=n)
+            self.slot_req[slot] = None
+        return int(live.sum() - (act & done_np).sum())
 
     def step(self) -> int:
         """Admit + collect one frame for the pool. Returns #active streams."""

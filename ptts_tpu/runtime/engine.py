@@ -125,16 +125,44 @@ class TTSEngine:
         self.window_impl = mimi.resolve_window_impl(self.flags.window_impl)
         self.prefill_impl = flowlm.resolve_prefill_impl(self.flags.prefill_impl)
 
-        fw_host = flowlm.load_weights(ctx.weights, self.flowlm_cfg)
+        # Warm the device attach on a background thread while the host walks
+        # the checkpoint mmap: the first device interaction of a process
+        # pays a transport-dependent attach cost (30-500 s measured through
+        # a remote tunnel, PERF.md round 4) that otherwise lands on the
+        # first weight upload below. Device ops queue behind it either way,
+        # so no join is needed.
+        import threading
+
+        def _attach():
+            try:
+                jax.device_put(np.zeros(8, np.float32)).block_until_ready()
+            except Exception:
+                pass  # attach failures surface on the real upload instead
+
+        threading.Thread(target=_attach, daemon=True).start()
+
+        # bf16 engines load FlowLM (82% of the params) straight to bf16:
+        # BF16-stored checkpoint tensors are zero-copy views of the mmap, so
+        # the cold-start upload ships half the bytes with no host f32 round
+        # trip; to_device's jnp.asarray is then conversion-free. Mimi stays
+        # on the f32 load (host math in its convtr prep; ~18% of params).
+        if dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            fw_host = flowlm.load_weights(ctx.weights, self.flowlm_cfg,
+                                          dtype=ml_dtypes.bfloat16)
+        else:
+            fw_host = flowlm.load_weights(ctx.weights, self.flowlm_cfg)
         mw_host = mimi.load_weights(ctx.weights, self.mimi_cfg)
         # sanitize mode (PTTS_SANITIZE=1): corrupt checkpoints fail fast at
         # construction with the offending tensor's name (utils/sanitize.py)
         sanitize.check_tree("load_weights(flowlm)", fw_host)
         sanitize.check_tree("load_weights(mimi)", mw_host)
-        # Host copies for prefix embedding assembly (off the hot path).
-        self._embed = fw_host["embed"]
-        self._input_linear = fw_host["input_linear"]
-        self._bos_emb = fw_host["bos_emb"]
+        # Host copies for prefix embedding assembly (off the hot path) --
+        # always f32: the host matmul/gather path doesn't speak bf16.
+        self._embed = np.asarray(fw_host["embed"], np.float32)
+        self._input_linear = np.asarray(fw_host["input_linear"], np.float32)
+        self._bos_emb = np.asarray(fw_host["bos_emb"], np.float32)
 
         self.fw = flowlm.to_device(fw_host, dtype, self.flowlm_cfg)
         self.mw = mimi.to_device(mw_host, dtype, self.mimi_cfg)
@@ -378,8 +406,24 @@ class TTSEngine:
 
     def batch_generate(self, texts: Sequence[str],
                        voices: Optional[Sequence[Optional[str]]] = None,
-                       params: Optional["api.Params"] = None) -> List[Audio]:
-        """B independent utterances in one device program."""
+                       params: Optional["api.Params"] = None,
+                       length_buckets: int = 4) -> List[Audio]:
+        """B independent utterances, length-bucketed into device programs.
+
+        Ragged frame budgets in one lockstep batch make every stream pay for
+        the slowest one: the EOS while_loop's dynamic trip count only exits
+        when ALL streams are done (the reference breaks per call,
+        ptts_flowlm.c:1238 -- one stream per batch, so it never has this
+        problem). Sorting the B streams by frame budget into up to
+        ``length_buckets`` equal-size groups lets each group's while_loop
+        stop at the GROUP max and each group's vocoder run at the group's
+        own width. Group sizes are padded to one common size so bucketing
+        adds at most one (B', T0) compile shape per call pattern.
+
+        Per-stream output is unchanged: each stream still runs its own exact
+        budget/EOS bookkeeping (tested equal to the unbucketed path).
+        ``length_buckets=1`` restores the single lockstep batch.
+        """
         p = (params or api.Params()).normalized()
         if voices is None:
             voices = [None] * len(texts)
@@ -395,17 +439,53 @@ class TTSEngine:
             frames.append(p.num_frames if p.num_frames > 0 else estimate_frames(wc))
             eos_afters.append(p.eos_after if p.eos_after > 0 else eos_after_guess)
 
-        max_frames = max(frames)
-        res = self.generate_latents_batch(
-            prefixes, max_frames, p, eos_after=np.asarray(eos_afters, np.int32),
-            frames_each=np.asarray(frames, np.int32),
-        )
-        used = np.minimum(np.asarray(res.frames_used), np.asarray(frames))
-        scaled = flowlm.scale_latents(self.fw, res.latents)
-        pcm = self.decode_audio_batch(scaled)
-        out = []
-        for b in range(len(texts)):
-            n = int(used[b]) * self.mimi_cfg.frame_samples
-            out.append(Audio(sample_rate=p.sample_rate, channels=1,
-                             samples=np.asarray(pcm[b][:n], np.float32)))
-        return out
+        B = len(texts)
+        frames_np = np.asarray(frames, np.int32)
+        eos_np = np.asarray(eos_afters, np.int32)
+        G = max(1, min(length_buckets, B // 2)) if B >= 4 else 1
+        if int(frames_np.max()) - int(frames_np.min()) < 16:
+            G = 1  # near-uniform budgets: splitting only shrinks the GEMMs
+        # spread (stable) by budget: groups of equal size gB, shortest first
+        order = np.argsort(frames_np, kind="stable") if G > 1 else np.arange(B)
+        gB = -(-B // G)
+
+        # noise is keyed by the ORIGINAL stream index (seed + i), not the
+        # batch position, so bucketing reorders streams without changing any
+        # stream's noise (bucketed == unbucketed audio, tested)
+        seed = p.seed if p.seed != -1 else int(time.time())
+
+        out: List[Optional[Audio]] = [None] * B
+        for g in range(G):
+            idx = order[g * gB : (g + 1) * gB]
+            if idx.size == 0:
+                continue
+            pad = gB - idx.size if G > 1 else 0
+            gidx = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad \
+                else idx
+            gmax = int(frames_np[gidx].max())
+            noise = np.stack([
+                frame_noise(seed + int(i), gmax, self.flowlm_cfg.latent_dim,
+                            temp=p.temp, noise_clamp=p.noise_clamp)
+                for i in gidx
+            ])
+            res = self.generate_latents_batch(
+                [prefixes[i] for i in gidx],
+                gmax, p,
+                noise=noise,
+                eos_after=eos_np[gidx],
+                frames_each=frames_np[gidx],
+            )
+            used = np.minimum(np.asarray(res.frames_used), frames_np[gidx])
+            # vocoder at the group's own width (16-frame granularity bounds
+            # compile variants; the lockstep path decoded EVERY stream at
+            # the global max width)
+            fmax = min(res.latents.shape[1],
+                       _round_up(max(int(used.max()), 1), 16))
+            scaled = flowlm.scale_latents(self.fw, res.latents[:, :fmax])
+            pcm = self.decode_audio_batch(scaled)
+            for j, i in enumerate(idx):
+                n = int(used[j]) * self.mimi_cfg.frame_samples
+                out[i] = Audio(sample_rate=p.sample_rate, channels=1,
+                               samples=np.asarray(pcm[j][:n], np.float32))
+        assert all(a is not None for a in out)
+        return out  # type: ignore[return-value]

@@ -126,6 +126,25 @@ def test_batch_generate_matches_single(ctx):
                      msg=f"batch vs single for {text!r}")
 
 
+def test_batch_generate_bucketed_matches_lockstep(ctx):
+    """Length-bucketed batch_generate (ragged auto budgets -> sorted groups,
+    group-width while_loops and vocoder calls) must return each stream's
+    exact lockstep audio: noise is keyed by original stream index, so the
+    reorder is invisible per stream."""
+    # word counts 1/2/4/6 -> auto frame budgets ~37..100 (spread >= 16
+    # activates bucketing); temp>0 exercises the per-stream noise keying
+    texts = ["hello", "hello world", "how low can you",
+             "hello world how low can you"]
+    p = api.Params(num_frames=0, num_steps=1, seed=11, temp=0.5,
+                   eos_enabled=False)
+    lockstep = ctx.engine.batch_generate(texts, params=p, length_buckets=1)
+    bucketed = ctx.engine.batch_generate(texts, params=p, length_buckets=4)
+    for text, a, b in zip(texts, lockstep, bucketed):
+        assert a.num_samples == b.num_samples, text
+        assert_close(a.samples, b.samples, atol=3e-4,
+                     msg=f"bucketed vs lockstep for {text!r}")
+
+
 def test_generate_dummy():
     audio = api.generate_dummy("hi there")
     assert audio.sample_rate == 24000
