@@ -44,7 +44,8 @@ def _enable_compile_cache():
 
 
 def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
-              verbose: bool = True):
+              verbose: bool = True,
+              modes=("on", "off", "ragged", "ragged_bucketed")):
     import jax
     import jax.numpy as jnp
 
@@ -155,23 +156,76 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
         run_chained.last_used = np.asarray(used)
         return time.perf_counter() - t0
 
+    # Length-bucketed ragged pipeline: the engine.batch_generate strategy
+    # (sort by frame budget into equal-size groups; each group's while_loop
+    # exits at the GROUP max and its vocoder runs at the group's own
+    # 16-frame-rounded width) -- without it one long stream pins the whole
+    # lockstep batch (round-3 VERDICT item 3).
+    after_np = np.asarray(ragged_after)
+    g_idx = np.array_split(np.argsort(after_np, kind="stable"), 4)
+    g_take = [jnp.asarray(g) for g in g_idx]
+    g_width = [min(frames, (int(after_np[g].max()) + 1 + 15) // 16 * 16)
+               for g in g_idx]
+
+    @functools.partial(jax.jit, static_argnames=("width",))
+    def scale_decode_w(fw_, mw_, lat, width: int):
+        return mimi.decode(mw_, flowlm.scale_latents(fw_, lat[:, :width]),
+                           mcfg)
+
+    def pipeline_ragged_bucketed(px):
+        taps, useds = [], []
+        for take, width in zip(g_take, g_width):
+            cache, x0 = flowlm.prefill_init(
+                fw, px[take], lengths[take], cfg, max_len, pimpl)
+            res = flowlm.generate_latents_while(
+                fw, cache, x0, noise[take], cfg, max_frames=frame_bucket,
+                num_steps=1, eos_threshold=1e9, eos_min_frames=1,
+                eos_after=ragged_after[take],
+                max_frames_per_stream=jnp.full((take.size,), frames,
+                                               jnp.int32),
+            )
+            pcm = scale_decode_w(fw, mw, res.latents, width)
+            taps.append(jnp.sum(pcm[:1, :8].astype(jnp.float32)))
+            useds.append(res.frames_used)  # stays on device until the fence
+        return sum(taps), useds
+
+    def run_chained_bucketed(n: int) -> float:
+        t0 = time.perf_counter()
+        tap = jnp.zeros((), jnp.float32)
+        useds = None
+        for _ in range(n):
+            tap, useds = pipeline_ragged_bucketed(prefix + tap.astype(dtype) * 0)
+        float(tap)  # host readback = fence (timed region ends here)
+        wall = time.perf_counter() - t0
+        used = np.zeros(batch, np.int64)
+        for gi, u in zip(g_idx, useds):
+            used[gi] = np.asarray(u)
+        run_chained_bucketed.last_used = used
+        return wall
+
     def measure(eos_mode: str):
+        runner = (run_chained_bucketed if eos_mode == "ragged_bucketed"
+                  else lambda n, m=eos_mode: run_chained(n, m))
         t_compile = time.perf_counter()
-        run_chained(1, eos_mode)
+        runner(1)
         compile_s = time.perf_counter() - t_compile
         walls = []
         for _ in range(repeats):
-            t1 = run_chained(1, eos_mode)
-            t3 = run_chained(3, eos_mode)
+            t1 = runner(1)
+            t3 = runner(3)
             walls.append((t3 - t1) / 2)  # slope: fixed costs cancel
         wall = min(walls)
         # emitted audio only (ragged EOS emits fewer frames per stream)
-        audio_seconds = float(np.minimum(run_chained.last_used, frames).sum()) \
+        last_used = (run_chained_bucketed.last_used
+                     if eos_mode == "ragged_bucketed"
+                     else run_chained.last_used)
+        audio_seconds = float(np.minimum(last_used, frames).sum()) \
             / mcfg.frame_rate
         streams = audio_seconds / wall
         if verbose:
+            tag = " (length-bucketed)" if eos_mode == "ragged_bucketed" else ""
             print(
-                f"[bench] eos={eos_mode}: B={batch} frames={frames} "
+                f"[bench] eos={eos_mode}{tag}: B={batch} frames={frames} "
                 f"dtype={dtype_name} wall={wall:.3f}s compile={compile_s:.1f}s "
                 f"-> {streams:.1f} streams/chip",
                 file=sys.stderr,
@@ -180,9 +234,15 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
 
     # Headline = the honest serving path: full per-frame EOS bookkeeping in
     # the on-device while_loop, no stream exiting early (worst case).
-    streams_on, wall_on, compile_on = measure("on")
-    streams_off, wall_off, compile_off = measure("off")
-    streams_ragged, wall_ragged, _ = measure("ragged")
+    out = {m: measure(m) for m in modes}
+    streams_on, wall_on, compile_on = out.get("on", (0.0, 0.0, 0.0))
+    streams_off, wall_off, compile_off = out.get("off", (1e-9, 0.0, 0.0))
+    streams_ragged, wall_ragged, _ = out.get("ragged", (0.0, 0.0, 0.0))
+    # length-bucketed alternative, measured for the record: it LOSES on TPU
+    # (3032 vs 3418 at B=256) -- per-frame cost is weight-streaming-bound
+    # and nearly batch-independent, so 4 sequential B/4 while_loops raise
+    # total trips 50 -> 140, which early exits can't pay back (PERF.md r4)
+    streams_rb, _, _ = out.get("ragged_bucketed", (0.0, 0.0, 0.0))
 
     return {
         "metric": "concurrent_realtime_streams",
@@ -202,6 +262,7 @@ def run_bench(batch: int, frames: int, dtype_name: str, repeats: int,
             "eos_on_vs_off": round(float(streams_on / streams_off), 4),
             "ragged_eos_streams": round(float(streams_ragged), 2),
             "ragged_wall_s": round(wall_ragged, 4),
+            "ragged_bucketed_streams": round(float(streams_rb), 2),
         },
     }
 
@@ -370,6 +431,92 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
     return streams, p50, finished, wall
 
 
+def run_batcher_bench_prepared(slots: int, target_finished: int,
+                               max_seconds: float = 120.0,
+                               frames_per_step: int = 8,
+                               verbose: bool = True):
+    """Sustained batcher throughput WITH the host-side request prep on the
+    clock: real tokenizer + prefix/params assembly via ``batcher.prepare()``
+    on 4 feeder threads (the server's handler-thread layout), feeding the
+    same closed loop. The plain batcher bench enqueues pre-built Requests,
+    so its figures exclude tokenize/prefix work -- this variant measures
+    whether that prep can starve the device loop (round-3 VERDICT item 6).
+
+    Uses a FULL-SIZE synthetic model dir (cached in /tmp across runs) so
+    prepare() runs the production tokenizer bytes.
+    """
+    import subprocess
+    import threading
+
+    from ptts_tpu import api
+    from ptts_tpu.runtime.batching import ContinuousBatcher
+
+    model_dir = os.environ.get("PTTS_BENCH_MODEL_DIR",
+                               "/tmp/ptts_bench_model")
+    if not os.path.isfile(os.path.join(model_dir, "tts_b6369a24.safetensors")):
+        subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "tools", "make_synth_checkpoint.py"),
+                        model_dir], check=True)
+    os.environ.setdefault("PTTS_DTYPE", "bf16")
+    ctx = api.Context(model_dir)
+    eng = ctx.engine  # full engine: mmap load + packed upload
+
+    b = ContinuousBatcher(eng, slots=slots, max_len=128, admit_chunk=32,
+                          prefix_budget=64, max_num_steps=1,
+                          frames_per_step=frames_per_step,
+                          collect_pcm=False, pipeline=True)
+    rng = np.random.default_rng(0)
+    words = ["hello", "world", "how", "low", "can", "you", "go", "today"]
+    texts = [" ".join(rng.choice(words, size=int(rng.integers(3, 9))))
+             for _ in range(64)]
+    stop = threading.Event()
+
+    def feeder():
+        r = np.random.default_rng(threading.get_ident() & 0xFFFF)
+        while not stop.is_set():
+            if len(b.queue) < b.admit_chunk * 2:
+                p = api.Params(num_frames=int(r.integers(10, 51)),
+                               num_steps=1, seed=-1, temp=0.7,
+                               eos_enabled=False)
+                try:
+                    b.enqueue(b.prepare(texts[int(r.integers(len(texts)))],
+                                        params=p))
+                except api.PttsError:
+                    break
+            else:
+                time.sleep(0.0005)
+
+    threads = [threading.Thread(target=feeder, daemon=True) for _ in range(4)]
+    for th in threads:
+        th.start()
+    try:
+        for _ in range(12):  # warmup compiles
+            b.step()
+        b.finished.clear()
+        frames_done = 0
+        finished = 0
+        t0 = time.perf_counter()
+        while finished < target_finished:
+            b.step()
+            for r, res in list(b.finished.items()):
+                frames_done += res.frames
+                finished += 1
+                del b.finished[r]
+            if time.perf_counter() - t0 > max_seconds:
+                break
+        wall = time.perf_counter() - t0
+    finally:
+        stop.set()
+    streams = frames_done / eng.mimi_cfg.frame_rate / wall
+    if verbose:
+        print(f"[bench] batcher (prepared, device-bound, pipelined): "
+              f"slots={slots} fps={frames_per_step} finished={finished} "
+              f"wall={wall:.1f}s -> {streams:.1f} sustained streams/chip",
+              file=sys.stderr)
+    return streams, finished, wall
+
+
 def main() -> int:
     _enable_compile_cache()
     batch = int(os.environ.get("PTTS_BENCH_BATCH", "256"))
@@ -432,6 +579,14 @@ def main() -> int:
             dslots, dtype, dreqs, frames_per_step=bfps, collect_pcm=False)
         result["detail"]["batcher_device_serial_streams"] = round(streams_ds, 2)
         result["detail"]["batcher_device_serial_p50_ms"] = round(p50_ds, 1)
+        # with host-side prepare() (tokenizer + prefix/params assembly) on
+        # 4 feeder threads -- the other batcher rows enqueue pre-built
+        # Requests and EXCLUDE that work (documented; VERDICT r3 item 6)
+        if os.environ.get("PTTS_BENCH_PREPARED", "1") == "1":
+            streams_p, _, _ = run_batcher_bench_prepared(
+                dslots, dreqs, frames_per_step=bfps)
+            result["detail"]["sustained_batcher_streams_prepared"] = round(
+                streams_p, 2)
     except Exception as e:  # never sink the headline metric
         print(f"[bench] batcher bench failed: {e}", file=sys.stderr)
 

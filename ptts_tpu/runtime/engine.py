@@ -407,22 +407,32 @@ class TTSEngine:
     def batch_generate(self, texts: Sequence[str],
                        voices: Optional[Sequence[Optional[str]]] = None,
                        params: Optional["api.Params"] = None,
-                       length_buckets: int = 4) -> List[Audio]:
-        """B independent utterances, length-bucketed into device programs.
+                       length_buckets: int = 1) -> List[Audio]:
+        """B independent utterances in one device program (optionally
+        length-bucketed -- OFF by default, see the measurement below).
 
         Ragged frame budgets in one lockstep batch make every stream pay for
         the slowest one: the EOS while_loop's dynamic trip count only exits
         when ALL streams are done (the reference breaks per call,
         ptts_flowlm.c:1238 -- one stream per batch, so it never has this
-        problem). Sorting the B streams by frame budget into up to
-        ``length_buckets`` equal-size groups lets each group's while_loop
-        stop at the GROUP max and each group's vocoder run at the group's
-        own width. Group sizes are padded to one common size so bucketing
-        adds at most one (B', T0) compile shape per call pattern.
+        problem). ``length_buckets > 1`` sorts the B streams by frame budget
+        into equal-size groups so each group's while_loop stops at the GROUP
+        max and each group's vocoder runs at the group's own width.
 
-        Per-stream output is unchanged: each stream still runs its own exact
-        budget/EOS bookkeeping (tested equal to the unbucketed path).
-        ``length_buckets=1`` restores the single lockstep batch.
+        **Measured WORSE on TPU and therefore default-off** (round 4,
+        bench.py ragged_bucketed: 3,032 vs 3,418 streams/chip at B=256,
+        budgets 10..50): the AR frame cost is weight-streaming-bound and
+        nearly batch-independent (B=64 per-frame measured 0.69x the B=256
+        cost, not 0.25x), so splitting into G sequential while_loops raises
+        the TOTAL trip count (50 -> 140) far more than per-group early exit
+        saves. The lockstep loop minimizes total trips, which is the only
+        lever that matters in this regime. Bucketing could only win for
+        extreme budget skew (sum of group maxima < ~1.45x the global max);
+        callers with such loads can opt in.
+
+        Per-stream output is identical either way: noise is keyed by the
+        original stream index, and each stream runs its own exact budget/EOS
+        bookkeeping (tested equal across bucketing).
         """
         p = (params or api.Params()).normalized()
         if voices is None:

@@ -14,9 +14,15 @@ Gates (full-size random weights, bf16 unless noted):
      matches the eos-disabled scan on the common frames
   4. full pipeline: PCM finite; device-side int16 quantization equals the
      host quantizer (io/wav.quantize_i16) bit-for-bit
+  5. ContinuousBatcher ON CHIP == the offline pipeline: ids admission,
+     K-frame fused dispatch, decode-ring wrap and slot reuse produce the
+     same per-stream audio as prefill+while_loop+mimi.decode (dual
+     max/mean thresholds -- see rel_stats for the two-regime calibration)
+  6. StreamingSession chunked PCM == offline decode of the same latents
+     (same dual thresholds)
 
 Prints one JSON line {"gates": {...}, "ok": bool}. Exit 0 iff all pass.
-Runs in ~2-4 min cold through the tunnel (compile dominated).
+Runs in ~3-6 min cold through the tunnel (compile dominated).
 
 Usage: python tools/tpu_smoke.py [--batch 8] [--frames 8]
 """
@@ -40,6 +46,26 @@ def rel_err(a, b):
     return float(np.max(np.abs(a - b))) / scale
 
 
+def rel_stats(a, b):
+    """(max, mean) relative error -- the serving gates need BOTH.
+
+    The serving-path comparisons (batcher / StreamingSession vs the offline
+    pipeline) run DIFFERENT program structures over ~10-30 AR frames of an
+    untrained random-weight model: per-frame bf16 rounding differs between
+    the fused K-frame step and the while_loop, and the chaotic map amplifies
+    it, so the worst single sample lands at ~0.09-0.11 in the clamped-i16
+    domain (measured on chip) while the MEAN stays ~1e-2. A structural fault
+    (slot/frame misrouting, ring-wrap bug, chunk misalignment) instead
+    decorrelates the whole railed waveform: measured max ~0.8, mean O(0.5).
+    Gating mean < 0.05 and max < 0.35 separates the two regimes by >5x on
+    both axes."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    scale = float(np.max(np.abs(b))) or 1.0
+    d = np.abs(a - b)
+    return float(np.max(d)) / scale, float(np.mean(d)) / scale
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -54,6 +80,9 @@ def main() -> int:
     from ptts_tpu.config import FlowLMConfig, MimiConfig
     from ptts_tpu.io import wav
     from ptts_tpu.runtime.streaming import quantize_i16_device
+    from ptts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # repeat smokes hit the on-disk XLA cache
     from ptts_tpu.models import flowlm, mimi
 
     if jax.default_backend() != "tpu":
@@ -116,11 +145,130 @@ def main() -> int:
     host_i16 = wav.quantize_i16(pcm)
     gates["i16_bitexact"] = bool((dev_i16 == host_i16).all())
 
+    # 5. ContinuousBatcher == offline pipeline on chip (SURVEY §2 #16 role
+    # for the SERVING programs: ids admission, fused K-frame step, decode-
+    # ring wrap, slot reuse -- the device code rounds 2-4 added)
+    import types
+
+    from ptts_tpu.config import KernelFlags
+    from ptts_tpu.rng import frame_noise
+    from ptts_tpu.runtime.batching import ContinuousBatcher, Request
+    from ptts_tpu.runtime.streaming import StreamingSession
+    from ptts_tpu import api
+
+    fw_h = flowlm.random_weights(cfg, seed=0)  # host copy for prefix math
+    eng = types.SimpleNamespace(flowlm_cfg=cfg, mimi_cfg=mcfg, dtype=dtype,
+                                fw=fw, mw=mw, flags=KernelFlags())
+    cond = (rng.standard_normal((12, cfg.d_model)) * 0.02).astype(np.float32)
+    N, slots = 6, 2  # 3 waves of slot reuse; ring wraps at 64 decode cols
+    req_frames = [10 + 4 * i for i in range(N)]           # 10..30
+    req_ids = [rng.integers(1, cfg.vocab, size=5 + i).astype(np.int32)
+               for i in range(N)]
+    req_noise = [frame_noise(100 + i, f, cfg.latent_dim, temp=0.7)
+                 for i, f in enumerate(req_frames)]
+
+    b = ContinuousBatcher(eng, slots=slots, max_len=128, admit_chunk=2,
+                          prefix_budget=T0, max_num_steps=1,
+                          frames_per_step=4)
+    vidx = b.register_voice("smoke", cond)
+    rids = [
+        b.enqueue(Request(rid=b._next_rid + i, prefix=None,
+                          noise=req_noise[i], max_frames=req_frames[i],
+                          eos_after=0, num_steps=1,
+                          eos_threshold=np.float32(1e30), eos_min_frames=1,
+                          ids=req_ids[i], voice_idx=vidx))
+        for i in range(N)
+    ]
+    b._next_rid += N
+    results = b.drain()
+
+    # offline comparator: host-built prefixes (engine._build_prefix math)
+    # through prefill + while_loop + full mimi.decode
+    bos = fw_h["bos_emb"] @ fw_h["input_linear"].T
+    prefixes = [np.concatenate([cond, fw_h["embed"][ids_.astype(np.int64)],
+                                bos[None]], axis=0)
+                for ids_ in req_ids]
+    Tp = T0
+    padded = np.zeros((N, Tp, cfg.d_model), np.float32)
+    lens = np.zeros(N, np.int32)
+    for i, p in enumerate(prefixes):
+        padded[i, : len(p)] = p
+        lens[i] = len(p)
+    fb = 64
+    noise_off = np.zeros((N, fb, cfg.latent_dim), np.float32)
+    for i, nrows in enumerate(req_noise):
+        noise_off[i, : len(nrows)] = nrows
+    cache_o, x0_o = flowlm.prefill_init(
+        fw, jnp.asarray(padded, dtype), jnp.asarray(lens), cfg, Tp + fb,
+        "pallas")
+    res_o = flowlm.generate_latents_while(
+        fw, cache_o, x0_o, jnp.asarray(noise_off, dtype), cfg, max_frames=fb,
+        num_steps=1, eos_threshold=1e30, eos_min_frames=1, eos_after=0,
+        max_frames_per_stream=jnp.asarray(req_frames, jnp.int32))
+    pcm_o = np.asarray(
+        mimi.decode(mw, flowlm.scale_latents(fw, res_o.latents), mcfg),
+        np.float32)
+
+    frames_ok, worst, worst_mean = True, 0.0, 0.0
+    for i, rid in enumerate(rids):
+        got = results[rid]
+        frames_ok &= got.frames == req_frames[i]
+        # compare in the clamped i16 domain: full-size RANDOM weights emit
+        # |pcm| >> 1 and the device int16 path clamps exactly like the host
+        # quantizer -- comparing against unclamped f32 is meaningless
+        want = wav.quantize_i16(
+            pcm_o[i][: req_frames[i] * mcfg.frame_samples]
+        ).astype(np.float32) / 32767.0
+        m, mn = rel_stats(got.pcm_i16.astype(np.float32) / 32767.0, want)
+        worst, worst_mean = max(worst, m), max(worst_mean, mn)
+    gates["batcher_frames_ok"] = bool(frames_ok)
+    gates["batcher_vs_offline_rel"] = worst
+    gates["batcher_vs_offline_mean"] = worst_mean
+
+    # 6. StreamingSession chunked PCM == offline decode of the same stream
+    p6 = api.Params(num_frames=frames, num_steps=1, seed=55, temp=0.7,
+                    eos_enabled=False)
+    sess = StreamingSession(eng, prefixes[:2], frames, p6,
+                            np.zeros(2, np.int32))
+    chunks = [np.asarray(c.pcm_i16) for c in sess]
+    sess_audio = np.concatenate(chunks, axis=-1).astype(np.float32) / 32767.0
+    noise6 = np.stack([
+        frame_noise(p6.seed + i, frames, cfg.latent_dim, temp=p6.temp)
+        for i in range(2)
+    ])
+    cache6, x06 = flowlm.prefill_init(
+        fw, jnp.asarray(padded[:2], dtype), jnp.asarray(lens[:2]), cfg,
+        Tp + fb, "pallas")
+    pad6 = np.zeros((2, fb, cfg.latent_dim), np.float32)
+    pad6[:, :frames] = noise6
+    res6 = flowlm.generate_latents_while(
+        fw, cache6, x06, jnp.asarray(pad6, dtype), cfg, max_frames=fb,
+        num_steps=1, eos_threshold=1e30, eos_min_frames=1, eos_after=0,
+        max_frames_per_stream=jnp.full((2,), frames, jnp.int32))
+    pcm6 = np.asarray(mimi.decode(
+        mw, flowlm.scale_latents(fw, res6.latents[:, :frames]), mcfg),
+        np.float32)
+    s_max, s_mean = rel_stats(
+        sess_audio[:, : frames * mcfg.frame_samples],
+        wav.quantize_i16(pcm6[:, : frames * mcfg.frame_samples])
+        .astype(np.float32) / 32767.0)
+    gates["stream_vs_offline_rel"] = s_max
+    gates["stream_vs_offline_mean"] = s_mean
+
+    # serving gates use the two-regime thresholds from rel_stats.__doc__:
+    # bf16 drift (different program structures, chaotic random-weight AR)
+    # measured max ~0.09-0.11 / mean ~1e-2; structural misrouting measured
+    # max ~0.8 / mean O(0.5)
     ok = (gates["prefill_k_rel"] < args.tol
           and gates["prefill_x0_rel"] < args.tol
           and gates["window_rel"] < args.tol
           and gates["while_budgets_ok"] and gates["while_finite"]
-          and gates["pcm_finite"] and gates["i16_bitexact"])
+          and gates["pcm_finite"] and gates["i16_bitexact"]
+          and gates["batcher_frames_ok"]
+          and gates["batcher_vs_offline_rel"] < 0.35
+          and gates["batcher_vs_offline_mean"] < 0.05
+          and gates["stream_vs_offline_rel"] < 0.35
+          and gates["stream_vs_offline_mean"] < 0.05)
     print(json.dumps({"ok": bool(ok), "gates": gates}))
     return 0 if ok else 1
 
