@@ -271,7 +271,8 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                       max_seconds: float = 120.0, verbose: bool = True,
                       frames_per_step: int = 1, collect_pcm: bool = True,
                       admit_chunk: int = 32, pipeline: bool = False,
-                      max_len: int = 128, label: str = ""):
+                      max_len: int = 128, label: str = "",
+                      split_admit=None):
     """Sustained continuous-batching throughput on the chip.
 
     Drives the production ContinuousBatcher (admission -> fused
@@ -310,7 +311,8 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                           admit_chunk=admit_chunk,
                           prefix_budget=T0, max_num_steps=1,
                           frames_per_step=frames_per_step,
-                          collect_pcm=collect_pcm, pipeline=pipeline)
+                          collect_pcm=collect_pcm, pipeline=pipeline,
+                          split_admit=split_admit)
     rng = np.random.default_rng(0)
     # ids admission path (the production prepare() route): one voice cond
     # cached on device, each request ships token ids only -- a host-built
@@ -358,14 +360,20 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
 
     def note_first_chunks():
         # admission -> first-chunk latency (queue wait under closed-loop
-        # saturation is an artifact of the load generator, so it's excluded)
+        # saturation is an artifact of the load generator, so it's excluded).
+        # The chunk-arrival side uses the batcher's collect-time stamp
+        # (first_chunk_t): with split_admit, a fresh stream's first chunk
+        # lands on the small k=1 readback mid-step; a post-step clock would
+        # charge it the whole k=K-1 bulk PCM transfer it didn't wait for.
         done = []
-        now = time.perf_counter()
         for rid in pending_first:
-            ch = b.chunks.get(rid)
-            if ch:  # first 80 ms chunk has been read back
+            ts = b.first_chunk_t.get(rid)
+            if ts is None and rid in b.finished:
+                fc = b.finished[rid].first_chunk_t
+                ts = fc if fc >= 0 else None
+            if ts is not None:  # first 80 ms chunk has been read back
                 if rid in admit_t:
-                    first_chunk_ms.append((now - admit_t[rid]) * 1000.0)
+                    first_chunk_ms.append((ts - admit_t[rid]) * 1000.0)
                 done.append(rid)
             elif rid in b.finished or rid not in b.chunks:
                 done.append(rid)

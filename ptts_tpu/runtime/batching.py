@@ -128,6 +128,11 @@ class Result:
     pcm_i16: np.ndarray         # concatenated PCM, device-quantized int16
     #                             (exact WAV bytes -- ptts_audio.c:82-88)
     frames: int
+    # wall clock (time.perf_counter) when the stream's FIRST 80 ms chunk was
+    # collected off the device -- the serving-latency stamp a streaming
+    # consumer observes (chunks are readable from batcher.chunks as soon as
+    # a collect lands them, not only at finish)
+    first_chunk_t: float = -1.0
 
     @property
     def audio(self) -> np.ndarray:
@@ -367,7 +372,19 @@ class ContinuousBatcher:
                  noise_budget: int = 0, mesh=None,
                  frames_per_step: int = 1, voice_cap: int = 8,
                  cond_budget: int = 0, collect_pcm: bool = True,
-                 device_noise: bool = True):
+                 device_noise: bool = True,
+                 split_admit: Optional[bool] = None):
+        # split_admit: when a step admitted fresh requests and K > 1,
+        # dispatch that step as TWO programs (k=1 then k=K-1, numerically
+        # identical to one k=K scan) so the fresh streams' first chunks ride
+        # the small k=1 readback instead of waiting out the whole K-frame
+        # program + bulk PCM transfer. PCM bytes per frame are unchanged;
+        # the only extra cost is one dispatch + flag RPC on admitting steps.
+        # Default: on for PCM-collecting (tunnel) pools where the K-frame
+        # transfer dominates first-chunk latency; off device-bound (flags-
+        # only readback already meets the latency target, PERF.md round 4).
+        self.split_admit = (collect_pcm and frames_per_step > 1
+                            if split_admit is None else split_admit)
         # collect_pcm=False keeps the PCM chunks ON DEVICE (only the tiny
         # done/was_done flags are read back): the co-located-serving
         # measurement mode, where the bulk PCM leaves over local DMA instead
@@ -505,6 +522,9 @@ class ContinuousBatcher:
         self.queue = _QueueView(self.queues)
         self.chunks: Dict[int, List[np.ndarray]] = {}
         self.finished: Dict[int, Result] = {}
+        # rid -> perf_counter stamp of the first collected chunk; moved onto
+        # the Result at finish (popped, so long-running servers don't leak)
+        self.first_chunk_t: Dict[int, float] = {}
         self._next_rid = 0
         import threading
 
@@ -532,7 +552,7 @@ class ContinuousBatcher:
         # everywhere it is consumed (admission, speculative dispatch) a
         # lagged "still running" view is conservative-safe.
         self._done_np = np.ones(self.B1, bool)         # lagged device done
-        self._pending = None                     # dispatched, not collected
+        self._pending: List[tuple] = []    # dispatched, not collected (FIFO)
         self._seq = 0                            # dispatch counter
         self._admit_seq = np.full(self.B1, -1, np.int64)
         self._slot_nframes = np.zeros(self.B1, np.int64)  # device-bound count
@@ -727,7 +747,9 @@ class ContinuousBatcher:
 
     # -- serving loop ----------------------------------------------------------
 
-    def _admit(self) -> None:
+    def _admit(self) -> int:
+        # Returns the number of requests admitted (step() splits the next
+        # dispatch when fresh streams are aboard -- see split_admit).
         # NO host fence after admission: the frame step consumes the admit
         # program's (donated) outputs, so device-stream data dependencies
         # already order them. An explicit np.asarray fence here was once a
@@ -736,6 +758,7 @@ class ContinuousBatcher:
         # loss in BOTH modes (device-bound 947 -> 1138 streams/chip, tunnel
         # 276 -> 394; the RPC roundtrip serialized every admitting step --
         # PERF.md round 3 "admission fence removal").
+        admitted = 0
         for h in range(self.n_hosts):
             q = self.queues[h]
             if not q:
@@ -746,6 +769,8 @@ class ContinuousBatcher:
                 while free and q and len(group) < self.admit_chunk:
                     group.append((free.pop(0), q.popleft()))
                 self._admit_group(group, self._host_trash[h])
+                admitted += len(group)
+        return admitted
 
     def _admit_group(self, group: List[Tuple[int, Request]],
                      trash_row: int) -> None:
@@ -895,8 +920,9 @@ class ContinuousBatcher:
     # a frame's dispatch and its collection are sequence-tracked so the
     # stale in-flight frame can't clobber the new slot's liveness.
 
-    def _dispatch(self) -> None:
-        """Queue one pool frame on the device; start the PCM host copy."""
+    def _dispatch(self, k: Optional[int] = None) -> None:
+        """Queue one k-frame pool step on the device; start the PCM host
+        copy. ``k`` defaults to the pool cadence (frames_per_step)."""
         engine = self.engine
         was_done_dev = self.done  # DEVICE pre-step done: exact chunk routing
         # eos params are per-slot arrays; "disabled" is threshold=+1e30;
@@ -904,7 +930,8 @@ class ContinuousBatcher:
         eos_threshold, eos_min_frames, eos_after, max_frames, num_steps = (
             self._params_dev  # admission-time device copies, no re-upload
         )
-        k = self.frames_per_step
+        if k is None:
+            k = self.frames_per_step
         if k == 1:
             (self.cache, self.mimi_state, self.x, pcm, eos,
              self.eos_step, self.done) = fused_stream_step(
@@ -948,8 +975,27 @@ class ContinuousBatcher:
             wd.copy_to_host_async()
         except Exception:
             pass
-        self._pending = (pcm, self.done, wd, self._seq)
+        self._pending.append((pcm, self.done, wd, self._seq))
         self._seq += 1
+
+    def _dispatch_step(self, fresh: int) -> None:
+        """Dispatch one pool step of frames_per_step frames -- as a single
+        K-frame program, or (split_admit, when ``fresh`` requests were just
+        admitted) as k=1 + k=K-1 back-to-back programs so the fresh streams'
+        first chunks come back after ONE frame of compute + a 1-frame PCM
+        transfer instead of the whole K-frame program + K-frame transfer.
+        The two programs chain on device (each consumes the donated state of
+        the last); fused_stream_steps is a scan of the identical single-frame
+        body, so the split is bit-identical to the unsplit step. Reference
+        bar: the per-frame loop emits every frame as it is produced
+        (ptts_flowlm.c:1195-1246); K-frame batching is our amortization, so
+        its latency cost must not land on a stream's FIRST chunk."""
+        k = self.frames_per_step
+        if fresh and k > 1 and self.split_admit:
+            self._dispatch(1)
+            self._dispatch(k - 1)
+        else:
+            self._dispatch(k)
 
     def _collect(self, pend) -> int:
         """Read an in-flight frame's chunk(s); finalize finished requests."""
@@ -979,13 +1025,18 @@ class ContinuousBatcher:
         self._done_np[self._dead_rows] = True
         if not self.collect_pcm:
             return self._collect_counts(done_np, was_done, fresh)
+        t_pcm = t2  # chunks became host-readable when the PCM copy landed
         for slot in self.slot_rows:
             req = self.slot_req[slot]
             if req is None or fresh[slot]:
                 continue
+            parts = self.chunks[req.rid]
+            had = bool(parts)
             for j in range(pcm_np.shape[0]):
                 if not was_done[j, slot]:
-                    self.chunks[req.rid].append(pcm_np[j, slot])
+                    parts.append(pcm_np[j, slot])
+            if not had and parts:
+                self.first_chunk_t[req.rid] = t_pcm
             if done_np[slot]:
                 parts = self.chunks.pop(req.rid)
                 self.finished[req.rid] = Result(
@@ -993,6 +1044,7 @@ class ContinuousBatcher:
                     pcm_i16=(np.concatenate(parts) if parts
                              else np.zeros(0, np.int16)),
                     frames=len(parts),
+                    first_chunk_t=self.first_chunk_t.pop(req.rid, -1.0),
                 )
                 self.slot_req[slot] = None
         return sum(1 for s in self.slot_req if s is not None)
@@ -1008,41 +1060,49 @@ class ContinuousBatcher:
         emit = np.where(act, (~was_done).sum(axis=0), 0)  # frames this step
         started = act & (self._slot_nframes == 0) & (emit > 0)
         self._slot_nframes += emit
+        t_now = time.perf_counter()
         for slot in np.nonzero(started)[0]:
             # placeholder so first-chunk trackers see the stream start
-            self.chunks[self.slot_req[slot].rid].append(_EMPTY_I16)
+            req = self.slot_req[slot]
+            self.chunks[req.rid].append(_EMPTY_I16)
+            self.first_chunk_t[req.rid] = t_now
         for slot in np.nonzero(act & done_np)[0]:
             req = self.slot_req[slot]
             n = int(self._slot_nframes[slot])
             self._slot_nframes[slot] = 0
             self.chunks.pop(req.rid, None)
             self.finished[req.rid] = Result(
-                rid=req.rid, pcm_i16=np.zeros(0, np.int16), frames=n)
+                rid=req.rid, pcm_i16=np.zeros(0, np.int16), frames=n,
+                first_chunk_t=self.first_chunk_t.pop(req.rid, -1.0))
             self.slot_req[slot] = None
         return int(live.sum() - (act & done_np).sum())
 
     def step(self) -> int:
-        """Admit + collect one frame for the pool. Returns #active streams."""
+        """Admit + collect one pool step. Returns #active streams."""
         t = time.perf_counter
         self.n_steps += 1
-        if self._pending is not None and all(r is None for r in self.slot_req):
-            pend, self._pending = self._pending, None
-            self._collect(pend)  # flush a stale speculative frame
+        if self._pending and all(r is None for r in self.slot_req):
+            pend, self._pending = self._pending, []
+            for p in pend:
+                self._collect(p)  # flush stale speculative frames
         t0 = t()
-        self._admit()
+        fresh = self._admit()
         t1 = t()
         have_active = any(r is not None for r in self.slot_req)
-        if self._pending is None:
+        if not self._pending:
             if not have_active:
                 self.phase_s["admit"] += t1 - t0
                 return 0
-            self._dispatch()
-        pend, self._pending = self._pending, None
+            self._dispatch_step(fresh)
+            fresh = 0  # this dispatch already carries the fresh streams
+        pend, self._pending = self._pending, []
         if self.pipeline and not self._done_np[self.slot_rows].all():
-            # speculative next frame: overlaps the readback in _collect()
-            self._dispatch()
+            # speculative next step: overlaps the readback in _collect()
+            self._dispatch_step(fresh)
         t2 = t()
-        out = self._collect(pend)
+        out = 0
+        for p in pend:  # FIFO: _done_np mirrors stay in dispatch order
+            out = self._collect(p)
         t3 = t()
         self.phase_s["admit"] += t1 - t0
         self.phase_s["dispatch"] += t2 - t1
@@ -1056,7 +1116,8 @@ class ContinuousBatcher:
             steps += 1
             if steps > max_steps:
                 raise RuntimeError("continuous batcher failed to drain")
-        if self._pending is not None:
-            pend, self._pending = self._pending, None
-            self._collect(pend)  # retire the trailing speculative frame
+        if self._pending:
+            pend, self._pending = self._pending, []
+            for p in pend:
+                self._collect(p)  # retire the trailing speculative frames
         return self.finished

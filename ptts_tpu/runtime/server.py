@@ -141,11 +141,13 @@ class TTSService:
             for req in list(b.queue):
                 self._errors[req.rid] = e
                 b.chunks.pop(req.rid, None)
+                b.first_chunk_t.pop(req.rid, None)
             b.queue.clear()
             for slot, req in enumerate(b.slot_req):
                 if req is not None:
                     self._errors[req.rid] = e
                     b.chunks.pop(req.rid, None)
+                    b.first_chunk_t.pop(req.rid, None)
                     b.slot_req[slot] = None
                     b._done_np[slot] = True
                     b._max_frames[slot] = 0

@@ -125,6 +125,46 @@ def test_blocked_decode_impl_rejected(ctx):
         eng.flags = orig
 
 
+@pytest.mark.slow
+def test_split_admit_matches_unsplit(ctx):
+    """split_admit dispatches an admitting step as k=1 + k=K-1 programs
+    (first chunks ride the small readback). The split must be invisible in
+    the results: same frame counts, same PCM, same ragged-EOS routing; and
+    every finished Result must carry a collect-time first-chunk stamp."""
+    def p(frames, seed):
+        return api.Params(num_frames=frames, num_steps=1, seed=seed,
+                          temp=0.4, eos_enabled=False)
+
+    specs = [("hello world", 7), ("how low", 2), ("hello hello", 5),
+             ("world world", 4)]
+
+    def run(split, pipeline=False):
+        b = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=2,
+                              prefix_budget=32, frames_per_step=3,
+                              split_admit=split, pipeline=pipeline)
+        rids = [b.submit(t, params=p(f, 70 + i))
+                for i, (t, f) in enumerate(specs)]
+        res = b.drain()
+        assert not b.first_chunk_t  # stamps move onto Results, no leak
+        return rids, res
+
+    rids0, res0 = run(False)
+    rids1, res1 = run(True)
+    rids2, res2 = run(True, pipeline=True)
+    assert rids0 == rids1 == rids2
+    for rid, (text, frames) in zip(rids0, specs):
+        for res in (res1, res2):
+            assert res[rid].frames == frames == res0[rid].frames, text
+            a = res0[rid].pcm_i16.astype(np.int32)
+            c = res[rid].pcm_i16.astype(np.int32)
+            assert a.shape == c.shape, text
+            # same single-frame body in the same order; the k=1 program is
+            # a different jit unit, so allow jit-boundary fusion drift (the
+            # K=1-vs-K=3 test's established bound)
+            assert np.abs(a - c).max() <= 4, text
+            assert res[rid].first_chunk_t > 0, text
+
+
 def test_multi_frame_dispatch_eos(ctx):
     """Per-request EOS mid-K-window: the finished stream's tail frames inside
     the same dispatch must not emit chunks, and the slot must be reused."""
