@@ -82,11 +82,19 @@ class TTSService:
 
     def __init__(self, ctx: "api.Context", slots: int = 16,
                  max_len: int = 768, prefix_budget: int = 128,
-                 max_num_steps: int = 8):
+                 max_num_steps: int = 8, frames_per_step: int = 1,
+                 pipeline: bool = False, split_admit=None):
+        # frames_per_step > 1 amortizes dispatch/readback across K frames
+        # (the sustained-throughput operating point, PERF.md); split_admit
+        # (default: auto) keeps a fresh stream's first chunk off the bulk
+        # K-frame transfer; pipeline overlaps step N+1's dispatch under N's
+        # readback (wins device-bound, loses on PCM-readback tunnels).
         self.ctx = ctx
         self.batcher = ContinuousBatcher(
             ctx.engine, slots=slots, max_len=max_len,
             prefix_budget=prefix_budget, max_num_steps=max_num_steps,
+            frames_per_step=frames_per_step, pipeline=pipeline,
+            split_admit=split_admit,
         )
         self._cv = threading.Condition()
         self._results = {}           # rid -> (Audio, publish_time)
@@ -255,13 +263,21 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--max-len", type=int, default=768)
+    ap.add_argument("--frames-per-step", type=int, default=1,
+                    help="frames fused per device dispatch (K): >1 amortizes "
+                         "dispatch/readback for sustained throughput; fresh "
+                         "streams' first chunks stay fast via split-admit")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="overlap step N+1's dispatch under step N's "
+                         "readback (wins when PCM stays device-local)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the startup precompile request")
     args = ap.parse_args()
 
     ctx = api.load_dir(args.model_dir)
     httpd = serve(ctx, host=args.host, port=args.port, slots=args.slots,
-                  max_len=args.max_len)
+                  max_len=args.max_len, frames_per_step=args.frames_per_step,
+                  pipeline=args.pipeline)
     if not args.no_warmup:
         # pay the serving-path XLA compiles before accepting traffic (the
         # persistent compile cache makes this near-instant after the first

@@ -110,6 +110,37 @@ def test_concurrent_requests(httpd):
         assert len(_parse_wav(body)) == p["num_frames"] * fs
 
 
+@pytest.mark.slow
+def test_k_frame_server_matches_offline(tmp_path):
+    """The server's sustained-throughput operating point (frames_per_step>1,
+    split-admit on by default) must serve byte-identical WAVs to K=1."""
+    path, fw, mw = write_model_dir(tmp_path / "m", seed=6)
+    ctx = api.Context(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
+    httpd = srv.serve(ctx, host="127.0.0.1", port=0, slots=2, max_len=96,
+                      prefix_budget=32, max_num_steps=4, frames_per_step=3)
+    assert httpd.tts_service.batcher.split_admit  # auto-on: PCM pool, K>1
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        p = {"text": "hello world", "num_frames": 4, "num_steps": 1,
+             "seed": 5, "temp": 0.5, "eos_enabled": False}
+        status, ctype, body = _post(httpd, p)
+        assert status == 200 and ctype == "audio/wav"
+        got = _parse_wav(body)
+        want = ctx.engine.generate(
+            "hello world",
+            params=api.Params(num_frames=4, num_steps=1, seed=5, temp=0.5,
+                              eos_enabled=False))
+        want_i16 = quantize_i16(want.samples)
+        diff = np.abs(got.astype(np.int32) - want_i16.astype(np.int32))
+        # streaming decode + the K-split jit boundaries: <=4 LSB (the
+        # established K-variant bound in test_batching)
+        assert diff.max() <= 4
+    finally:
+        httpd.shutdown()
+        httpd.tts_service.close()
+
+
 def test_bad_request(httpd):
     status, _, body = _post(httpd, {"no_text": True})
     assert status == 400
