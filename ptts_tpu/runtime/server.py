@@ -13,6 +13,12 @@ Endpoints:
     POST /tts     {"text": str, "voice"?: str, "num_frames"?: int,
                    "num_steps"?: int, "temp"?: float, "seed"?: int,
                    "eos_enabled"?: bool}           -> audio/wav
+    POST /tts-stream  same body -> chunked s16le PCM, one HTTP chunk per
+                   80 ms frame AS IT IS PRODUCED (headers X-PTTS-Format:
+                   s16le, X-PTTS-Sample-Rate). The real-time streaming
+                   surface: first bytes arrive after the first frame
+                   (split-admit keeps that off the K-frame bulk transfer),
+                   not after the utterance finishes.
     GET  /healthz                                  -> 200 "ok"
     GET  /stats                                    -> engine timing summary
 
@@ -99,6 +105,10 @@ class TTSService:
         self._cv = threading.Condition()
         self._results = {}           # rid -> (Audio, publish_time)
         self._errors = {}
+        # rid -> streaming subscription (chunk hand-off to /tts-stream
+        # waiters); entries are created under the lock at submit time and
+        # removed by the consuming generator
+        self._streams = {}
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -131,6 +141,77 @@ class TTSService:
                  timeout: Optional[float] = None) -> Audio:
         return self.wait(self.submit(text, voice, params), timeout=timeout)
 
+    # -- streaming request lifecycle -------------------------------------------
+
+    def submit_stream(self, text: str, voice: Optional[str] = None,
+                      params: Optional["api.Params"] = None) -> int:
+        """Submit a request whose PCM will be consumed incrementally via
+        ``stream_chunks``. The subscription is registered in the same lock
+        window as the enqueue, so the serving loop can never finish the
+        request before the subscription exists."""
+        req = self.batcher.prepare(text, voice=voice, params=params)
+        with self._cv:
+            rid = self.batcher.enqueue(req)
+            self._streams[rid] = {
+                "buf": [],        # landed-but-unconsumed int16 chunks
+                "nsamples": 0,    # samples handed to buf so far
+                "nparts": 0,      # batcher chunk parts drained so far
+                "done": False,
+                "err": None,
+            }
+            self._cv.notify_all()
+        return rid
+
+    def stream_chunks(self, rid: int, timeout: Optional[float] = None):
+        """Yield int16 PCM chunks (one per collected frame) as the device
+        produces them; returns when the stream finishes. Chunks are popped
+        under the lock but yielded outside it, so a slow consumer (socket
+        write) never blocks the serving loop."""
+        st = self._streams[rid]
+        try:
+            while True:
+                with self._cv:
+                    ok = self._cv.wait_for(
+                        lambda: st["buf"] or st["done"] or st["err"],
+                        timeout=timeout)
+                    if not ok:
+                        raise TimeoutError(f"stream {rid} timed out")
+                    chunks, st["buf"] = st["buf"], []
+                    err, done = st["err"], st["done"]
+                for c in chunks:
+                    if c.size:
+                        yield c
+                if err is not None:
+                    raise err
+                if done:
+                    return
+        finally:
+            with self._cv:
+                self._streams.pop(rid, None)
+
+    def _drain_streams_locked(self, b: ContinuousBatcher) -> None:
+        """Move newly collected chunks / final tails to stream subscribers.
+        Caller holds self._cv."""
+        woke = False
+        for rid, st in self._streams.items():
+            parts = b.chunks.get(rid)
+            if parts is not None and len(parts) > st["nparts"]:
+                for p in parts[st["nparts"]:]:
+                    st["buf"].append(p)
+                    st["nsamples"] += p.size
+                st["nparts"] = len(parts)
+                woke = True
+        for rid in [r for r in b.finished if r in self._streams]:
+            res = b.finished.pop(rid)
+            st = self._streams[rid]
+            tail = res.pcm_i16[st["nsamples"]:]
+            if tail.size:
+                st["buf"].append(tail)
+            st["done"] = True
+            woke = True
+        if woke:
+            self._cv.notify_all()
+
     def close(self) -> None:
         with self._cv:
             self._stop = True
@@ -159,6 +240,9 @@ class TTSService:
                     b.slot_req[slot] = None
                     b._done_np[slot] = True
                     b._max_frames[slot] = 0
+            for st in self._streams.values():  # wake streaming consumers
+                if not st["done"]:
+                    st["err"] = e
             self._cv.notify_all()
 
     def _loop(self) -> None:
@@ -180,6 +264,9 @@ class TTSService:
             except Exception as e:  # surface to every waiter
                 self._on_step_error(e)
                 continue
+            if self._streams:
+                with self._cv:
+                    self._drain_streams_locked(b)
             if b.finished:
                 now = time.monotonic()
                 with self._cv:
@@ -199,6 +286,10 @@ class TTSService:
 
 def make_handler(service: TTSService):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 for chunked transfer on /tts-stream; every non-chunked
+        # response sets Content-Length so keep-alive stays correct
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -218,22 +309,29 @@ def make_handler(service: TTSService):
             else:
                 self._send(404, b"not found", "text/plain")
 
+        def _parse_body(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            text = req["text"]
+            pkw = {k: req[k] for k in
+                   ("num_frames", "num_steps", "temp", "seed",
+                    "eos_enabled", "eos_threshold", "eos_min_frames",
+                    "eos_after", "noise_clamp") if k in req}
+            return text, req.get("voice"), api.Params(**pkw)
+
         def do_POST(self):
-            if self.path != "/tts":
+            if self.path == "/tts":
+                self._do_tts()
+            elif self.path == "/tts-stream":
+                self._do_tts_stream()
+            else:
                 self._send(404, b"not found", "text/plain")
-                return
+
+        def _do_tts(self):
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                text = req["text"]
-                pkw = {k: req[k] for k in
-                       ("num_frames", "num_steps", "temp", "seed",
-                        "eos_enabled", "eos_threshold", "eos_min_frames",
-                        "eos_after", "noise_clamp") if k in req}
-                audio = service.generate(
-                    text, voice=req.get("voice"),
-                    params=api.Params(**pkw), timeout=300,
-                )
+                text, voice, params = self._parse_body()
+                audio = service.generate(text, voice=voice, params=params,
+                                         timeout=300)
                 self._send(200, wav_bytes(audio), "audio/wav")
             except (KeyError, json.JSONDecodeError, TypeError) as e:
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
@@ -243,6 +341,41 @@ def make_handler(service: TTSService):
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
             except Exception as e:
                 self._send(500, f"error: {e}".encode(), "text/plain")
+
+        def _do_tts_stream(self):
+            # chunked s16le PCM: one HTTP chunk per collected 80 ms frame.
+            # Errors before the first byte map to 400/500; an error after
+            # headers are sent can only truncate (no trailing 0-chunk), which
+            # a chunked-aware client sees as an incomplete response.
+            try:
+                text, voice, params = self._parse_body()
+                rid = service.submit_stream(text, voice=voice, params=params)
+            except (KeyError, json.JSONDecodeError, TypeError,
+                    api.PttsError) as e:
+                self._send(400, f"bad request: {e}".encode(), "text/plain")
+                return
+            except Exception as e:
+                self._send(500, f"error: {e}".encode(), "text/plain")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-PTTS-Format", "s16le")
+            self.send_header("X-PTTS-Sample-Rate",
+                             str(params.sample_rate))
+            self.send_header("X-PTTS-Request-Id", str(rid))
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                for pcm in service.stream_chunks(rid, timeout=300):
+                    data = pcm.astype("<i2").tobytes()
+                    self.wfile.write(b"%X\r\n" % len(data))
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception:
+                # mid-stream failure (step error, client gone): drop the
+                # connection; the generator's finally already unsubscribed
+                self.close_connection = True
 
     return Handler
 

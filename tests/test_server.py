@@ -141,6 +141,75 @@ def test_k_frame_server_matches_offline(tmp_path):
         httpd.tts_service.close()
 
 
+def _stream_raw(addr, payload):
+    """POST /tts-stream and parse the chunked response at the wire level,
+    returning (headers, list of data chunks) -- chunk boundaries are the
+    incremental-delivery evidence http.client would hide."""
+    import socket
+
+    body = json.dumps(payload).encode()
+    req = (b"POST /tts-stream HTTP/1.1\r\nHost: t\r\n"
+           b"Content-Type: application/json\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(body)) + body
+    with socket.create_connection(addr, timeout=300) as s:
+        s.sendall(req)
+        f = s.makefile("rb")
+        status = f.readline()
+        headers = {}
+        while True:
+            line = f.readline().strip()
+            if not line:
+                break
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        chunks = []
+        while True:
+            n = int(f.readline().strip(), 16)
+            if n == 0:
+                f.readline()
+                break
+            chunks.append(f.read(n))
+            assert f.read(2) == b"\r\n"
+    return status, headers, chunks
+
+
+@pytest.mark.slow
+def test_tts_stream_incremental_pcm(tmp_path):
+    """/tts-stream delivers s16le PCM in multiple HTTP chunks AS frames are
+    produced, and the concatenation equals the offline engine's WAV data."""
+    path, fw, mw = write_model_dir(tmp_path / "m", seed=6)
+    ctx = api.Context(path, flowlm_cfg=TINY_FLOWLM, mimi_cfg=TINY_MIMI)
+    httpd = srv.serve(ctx, host="127.0.0.1", port=0, slots=2, max_len=96,
+                      prefix_budget=32, max_num_steps=4, frames_per_step=2)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        p = {"text": "hello world", "num_frames": 5, "num_steps": 1,
+             "seed": 5, "temp": 0.5, "eos_enabled": False}
+        status, headers, chunks = _stream_raw(httpd.server_address, p)
+        assert b"200" in status
+        assert headers[b"x-ptts-format"] == b"s16le"
+        assert headers[b"transfer-encoding"] == b"chunked"
+        fs = TINY_MIMI.frame_samples
+        got = np.frombuffer(b"".join(chunks), "<i2")
+        assert got.size == 5 * fs
+        # incremental: more than one chunk, and every chunk is whole frames
+        assert len(chunks) >= 2
+        assert all(len(c) % (2 * fs) == 0 for c in chunks)
+        # first request on a fresh server -> rid 0 -> offline seed matches
+        want = ctx.engine.generate(
+            "hello world",
+            params=api.Params(num_frames=5, num_steps=1, seed=5, temp=0.5,
+                              eos_enabled=False))
+        want_i16 = quantize_i16(want.samples)
+        diff = np.abs(got.astype(np.int32) - want_i16.astype(np.int32))
+        assert diff.max() <= 4  # K-split jit-boundary bound
+        assert not httpd.tts_service._streams  # subscription cleaned up
+    finally:
+        httpd.shutdown()
+        httpd.tts_service.close()
+
+
 def test_bad_request(httpd):
     status, _, body = _post(httpd, {"no_text": True})
     assert status == 400
@@ -190,3 +259,22 @@ def test_step_error_releases_batcher_state(httpd):
                                     "num_steps": 1, "seed": 4,
                                     "eos_enabled": False})
     assert status == 200, body
+
+
+def test_step_error_propagates_to_stream_consumer(httpd):
+    """A failing step must raise out of stream_chunks (not hang the
+    consumer) and unsubscribe the stream."""
+    service = httpd.tts_service
+    b = service.batcher
+    boom = RuntimeError("injected stream failure")
+    orig_step = b.step
+    b.step = lambda: (_ for _ in ()).throw(boom)
+    try:
+        rid = service.submit_stream("hello", params=api.Params(
+            num_frames=2, num_steps=1, seed=3, eos_enabled=False))
+        with pytest.raises(RuntimeError, match="injected stream failure"):
+            for _ in service.stream_chunks(rid, timeout=60):
+                pass
+    finally:
+        b.step = orig_step
+    assert rid not in service._streams
