@@ -342,9 +342,15 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
         return req
 
     def top_up():
-        # closed-loop saturation: keep the admission queue non-empty so a
-        # freed slot is always refilled on the next step
-        while len(b.queue) < b.admit_chunk * 2:
+        # closed-loop saturation: enough queued work to refill EVERY free
+        # slot on the next step. (The previous admit_chunk*2 depth was an
+        # accidental admission-bandwidth cap: _admit() drains the whole
+        # queue, so occupancy equilibrated at ~2 admit groups/step x avg
+        # stream lifetime ~= 240 live streams REGARDLESS of pool size --
+        # bigger pools then paid padded-row device time at the same live
+        # count, which is what the round-4 "512-slot cliff" was. Measured
+        # occupancy-vs-slots in PERF.md.)
+        while len(b.queue) < slots + b.admit_chunk:
             req = make_req()
             b.enqueue(req)
             pending_first.add(req.rid)
@@ -483,7 +489,9 @@ def run_batcher_bench_prepared(slots: int, target_finished: int,
     def feeder():
         r = np.random.default_rng(threading.get_ident() & 0xFFFF)
         while not stop.is_set():
-            if len(b.queue) < b.admit_chunk * 2:
+            # queue depth must cover every free slot or occupancy caps
+            # below the pool size (see top_up in run_batcher_bench)
+            if len(b.queue) < slots + b.admit_chunk:
                 p = api.Params(num_frames=int(r.integers(10, 51)),
                                num_steps=1, seed=-1, temp=0.7,
                                eos_enabled=False)

@@ -249,6 +249,27 @@ class Context:
         """End-to-end text -> Audio (ptts_generate, ptts.c:1011-1161)."""
         return self.engine.generate(text, voice=voice, params=params)
 
+    def stream(self, text: str, voice: Optional[str] = None,
+               params: Optional[Params] = None, pipeline: bool = True):
+        """Yield one 80 ms Audio chunk per frame AS IT IS PRODUCED.
+
+        The single-call real-time streaming surface over
+        runtime/streaming.StreamingSession (double-buffered: chunk N's
+        readback overlaps the device computing N+1). Concatenated chunks
+        are bit-close (<=1 LSB int16) to ``generate`` with the same params.
+        The reference only emits the finished WAV (ptts.c:1011-1161).
+        """
+        from .runtime.streaming import StreamingSession
+
+        p = (params or Params()).normalized()
+        sess = StreamingSession.start(self.engine, [text], voices=[voice],
+                                      params=p, pipeline=pipeline)
+        for chunk in sess:
+            if not chunk.active[0]:
+                break  # single stream finished; ignore padded tail frames
+            yield Audio(sample_rate=p.sample_rate, channels=1,
+                        samples=chunk.pcm[0], pcm_i16=chunk.pcm_i16[0])
+
     def close(self) -> None:
         self.weights.close()
 

@@ -39,6 +39,24 @@ def test_streaming_matches_offline(ctx):
         assert diff.max() <= 8, f"stream {b}: max {diff.max()} LSB"
 
 
+@pytest.mark.slow
+def test_context_stream_api_matches_generate(ctx):
+    """api.Context.stream: one Audio chunk per frame; concatenation matches
+    generate() for the same params (single stream -> same seed+0 noise)."""
+    p = api.Params(num_frames=4, num_steps=1, seed=11, temp=0.5,
+                   eos_enabled=False)
+    chunks = list(ctx.stream("hello world", params=p))
+    assert len(chunks) == 4
+    fs = TINY_MIMI.frame_samples
+    for c in chunks:
+        assert c.pcm_i16.shape == (fs,)
+        assert c.sample_rate == p.sample_rate
+    streamed = np.concatenate([c.pcm_i16 for c in chunks])
+    ref = wav.quantize_i16(ctx.generate("hello world", params=p).samples)
+    diff = np.abs(streamed.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 8
+
+
 def test_device_quantization_matches_host_bitexact():
     """quantize_i16_device == io/wav.quantize_i16 byte-for-byte, including
     the adversarial cases: out-of-range clamps, exact integer multiples,
