@@ -507,14 +507,24 @@ def run_batcher_bench_prepared(slots: int, target_finished: int,
     for th in threads:
         th.start()
     try:
-        for _ in range(12):  # warmup compiles
+        # wait for the feeders to build a full queue BEFORE warmup: warmup
+        # steps on an empty queue compile nothing, which pushes every program
+        # compile into the timed window -- and the timed loop's hot spin then
+        # GIL-starves the feeders (measured: 686 and even 37 streams/chip for
+        # the same config that sustains ~2000; the production server waits on
+        # a condition variable instead of spinning, so this is harness-only)
+        t_fill = time.perf_counter()
+        while len(b.queue) < slots and time.perf_counter() - t_fill < 60:
+            time.sleep(0.005)
+        for _ in range(12):  # warmup compiles (pool now saturated)
             b.step()
         b.finished.clear()
         frames_done = 0
         finished = 0
         t0 = time.perf_counter()
         while finished < target_finished:
-            b.step()
+            if b.step() == 0:
+                time.sleep(0.001)  # nothing active: yield the GIL to feeders
             for r, res in list(b.finished.items()):
                 frames_done += res.frames
                 finished += 1
@@ -528,8 +538,13 @@ def run_batcher_bench_prepared(slots: int, target_finished: int,
     if verbose:
         print(f"[bench] batcher (prepared, device-bound, pipelined): "
               f"slots={slots} fps={frames_per_step} finished={finished} "
-              f"wall={wall:.1f}s -> {streams:.1f} sustained streams/chip",
-              file=sys.stderr)
+              f"frames={frames_done} wall={wall:.1f}s -> {streams:.1f} "
+              f"sustained streams/chip", file=sys.stderr)
+        ph = {k: round(v / max(b.n_steps, 1) * 1000, 1)
+              for k, v in b.phase_s.items()}
+        print(f"[bench] prepared phases (ms/step over {b.n_steps} steps, "
+              f"{b.n_admit_groups} admit groups, queue={len(b.queue)}): "
+              f"{ph}", file=sys.stderr)
     return streams, finished, wall
 
 
