@@ -85,6 +85,33 @@ class _QueueView:
         for q in self._qs:
             q.clear()
 
+    def remove_rid(self, rid: int):
+        """Remove and return the queued Request with this rid (or None).
+
+        Tolerates concurrent mutation by the serving thread (whose _admit
+        poplefts these deques without a lock): iteration raising
+        RuntimeError is retried, and a remove() losing the race to a
+        popleft (ValueError) reports not-found -- the caller's slot scan
+        will see the request once admission lands it."""
+        for q in self._qs:
+            while True:
+                try:
+                    hit = next((r for r in q if r.rid == rid), None)
+                    if hit is not None:
+                        q.remove(hit)
+                        return hit
+                    break
+                except RuntimeError:   # deque mutated during iteration
+                    continue
+                except ValueError:     # popped by _admit between find+remove
+                    return None
+        return None
+
+
+class QueueFull(api.PttsError):
+    """Admission queue is at max_queue; the client should back off (the
+    serving front door maps this to HTTP 429)."""
+
 
 @dataclasses.dataclass
 class Request:
@@ -373,7 +400,13 @@ class ContinuousBatcher:
                  frames_per_step: int = 1, voice_cap: int = 8,
                  cond_budget: int = 0, collect_pcm: bool = True,
                  device_noise: bool = True,
-                 split_admit: Optional[bool] = None):
+                 split_admit: Optional[bool] = None,
+                 max_queue: int = 0):
+        # max_queue bounds the admission queue (0 = unbounded): enqueue()
+        # raises QueueFull past the bound so a submit flood turns into
+        # client backpressure (HTTP 429) instead of unbounded host memory
+        # growth in the deque + chunks dict.
+        self.max_queue = int(max_queue)
         # split_admit: when a step admitted fresh requests and K > 1,
         # dispatch that step as TWO programs (k=1 then k=K-1, numerically
         # identical to one k=K scan) so the fresh streams' first chunks ride
@@ -540,8 +573,16 @@ class ContinuousBatcher:
         # host->device RPC on remote-tunnel setups)
         self._refresh_params_dev()
         # host-blocking wall time per serving phase (step() bookkeeping;
-        # read by tools/bench + profile runs)
-        self.phase_s = {"admit": 0.0, "dispatch": 0.0, "collect": 0.0}
+        # read by tools/bench + profile runs). "admit" is tight-timed
+        # admission WORK (group assembly + program dispatch); "admit_wait"
+        # is the remainder of the admission window -- queue scans plus GIL
+        # hand-offs to feeder/handler threads -- so multi-threaded drivers
+        # don't misread thread preemption as admission cost (round-4
+        # VERDICT: the prepared-bench row showed admit=140 ms/step that was
+        # really feeder-thread time-sharing).
+        self.phase_s = {"admit": 0.0, "admit_wait": 0.0, "dispatch": 0.0,
+                        "collect": 0.0}
+        self._admit_work = 0.0
         self.n_admit_groups = 0
         self.n_steps = 0
 
@@ -721,10 +762,69 @@ class ContinuousBatcher:
                 f"request rid={req.rid} num_steps {req.num_steps} > pool "
                 f"max_num_steps {self.max_num_steps}"
             )
+        if self.max_queue and len(self.queue) >= self.max_queue:
+            raise QueueFull(
+                f"admission queue full ({self.max_queue} requests); retry "
+                f"later"
+            )
         h = self._route_host() if host is None else host
         self.queues[h].append(req)
         self.chunks[req.rid] = []
         return req.rid
+
+    def cancel(self, rid: int) -> bool:
+        """Abandon a request wherever it is: queued (dequeued), in a slot
+        (the slot is freed for the next admission), or finished-unclaimed
+        (the Result is dropped). Returns False if the rid is unknown.
+
+        Pure host bookkeeping -- no device program. A cancelled slot's row
+        keeps computing inside in-flight/subsequent step programs until its
+        own max_frames (identical cost to an early-EOS row: every row is
+        always computed under static shapes, so the padded work slows
+        nothing), but the slot is re-admittable IMMEDIATELY -- the next
+        admission overwrites its cache/params/done wholesale, exactly like
+        reusing an early-finisher's row (test_ring_survives_early_finishers).
+
+        Safe to call from another thread while the serving thread is inside
+        step(): the writes here are GIL-atomic container/array-scalar
+        updates, _collect tolerates a mid-iteration disappearance (it
+        re-reads chunks via .get), and the _admit_seq bump keeps in-flight
+        frames dispatched BEFORE the cancel from flipping the host done
+        mirror back to live. The one benign race: a device EOS collected in
+        the same step window can still publish a Result, which then ages out
+        via the server's result TTL."""
+        deadline = time.perf_counter() + 0.05
+        while True:
+            # queued?
+            req = self.queue.remove_rid(rid)
+            if req is not None:
+                self.chunks.pop(rid, None)
+                self.first_chunk_t.pop(rid, None)
+                return True
+            # in a slot?
+            for slot in self.slot_rows:
+                r = self.slot_req[slot]
+                if r is not None and r.rid == rid:
+                    self.slot_req[slot] = None
+                    self._done_np[slot] = True
+                    # frames dispatched before this point must not resurrect
+                    # the mirror at collect time (same guard as admission)
+                    self._admit_seq[slot] = self._seq
+                    self._slot_nframes[slot] = 0
+                    self.chunks.pop(rid, None)
+                    self.first_chunk_t.pop(rid, None)
+                    return True
+            # finished but unclaimed?
+            if self.finished.pop(rid, None) is not None:
+                self.chunks.pop(rid, None)
+                self.first_chunk_t.pop(rid, None)
+                return True
+            # A chunks entry without a queue/slot/finished hit means the rid
+            # is mid-admission on the serving thread (between its queue pop
+            # and its slot_req write); spin briefly until it lands in a slot.
+            if rid not in self.chunks or time.perf_counter() > deadline:
+                return False
+            time.sleep(0.0005)
 
     def submit(self, text: str, voice: Optional[str] = None,
                params: Optional[api.Params] = None,
@@ -759,6 +859,7 @@ class ContinuousBatcher:
         # 276 -> 394; the RPC roundtrip serialized every admitting step --
         # PERF.md round 3 "admission fence removal").
         admitted = 0
+        work = 0.0  # tight-timed assembly+dispatch (phase_s attribution)
         for h in range(self.n_hosts):
             q = self.queues[h]
             if not q:
@@ -768,8 +869,11 @@ class ContinuousBatcher:
                 group: List[Tuple[int, Request]] = []
                 while free and q and len(group) < self.admit_chunk:
                     group.append((free.pop(0), q.popleft()))
+                tg = time.perf_counter()
                 self._admit_group(group, self._host_trash[h])
+                work += time.perf_counter() - tg
                 admitted += len(group)
+        self._admit_work = work
         return admitted
 
     def _admit_group(self, group: List[Tuple[int, Request]],
@@ -986,7 +1090,11 @@ class ContinuousBatcher:
         transfer instead of the whole K-frame program + K-frame transfer.
         The two programs chain on device (each consumes the donated state of
         the last); fused_stream_steps is a scan of the identical single-frame
-        body, so the split is bit-identical to the unsplit step. Reference
+        body, so the split is numerically equivalent to the unsplit step up
+        to jit-boundary fusion drift (<=4 LSB on int16 PCM -- the same bound
+        test_split_admit_matches_unsplit holds the K=1-vs-K comparison to;
+        the k=1 program is a separate jit unit, so bit-exactness is NOT
+        guaranteed and nothing may assume it). Reference
         bar: the per-frame loop emits every frame as it is produced
         (ptts_flowlm.c:1195-1246); K-frame batching is our amortization, so
         its latency cost must not land on a stream's FIRST chunk."""
@@ -1030,7 +1138,11 @@ class ContinuousBatcher:
             req = self.slot_req[slot]
             if req is None or fresh[slot]:
                 continue
-            parts = self.chunks[req.rid]
+            # .get: a concurrent cancel() may have popped the buffer between
+            # the slot_req read above and here -- skip, the slot is gone
+            parts = self.chunks.get(req.rid)
+            if parts is None:
+                continue
             had = bool(parts)
             for j in range(pcm_np.shape[0]):
                 if not was_done[j, slot]:
@@ -1038,7 +1150,7 @@ class ContinuousBatcher:
             if not had and parts:
                 self.first_chunk_t[req.rid] = t_pcm
             if done_np[slot]:
-                parts = self.chunks.pop(req.rid)
+                parts = self.chunks.pop(req.rid, parts)
                 self.finished[req.rid] = Result(
                     rid=req.rid,
                     pcm_i16=(np.concatenate(parts) if parts
@@ -1064,10 +1176,15 @@ class ContinuousBatcher:
         for slot in np.nonzero(started)[0]:
             # placeholder so first-chunk trackers see the stream start
             req = self.slot_req[slot]
-            self.chunks[req.rid].append(_EMPTY_I16)
+            parts = None if req is None else self.chunks.get(req.rid)
+            if parts is None:  # concurrently cancelled
+                continue
+            parts.append(_EMPTY_I16)
             self.first_chunk_t[req.rid] = t_now
         for slot in np.nonzero(act & done_np)[0]:
             req = self.slot_req[slot]
+            if req is None:  # concurrently cancelled
+                continue
             n = int(self._slot_nframes[slot])
             self._slot_nframes[slot] = 0
             self.chunks.pop(req.rid, None)
@@ -1091,7 +1208,8 @@ class ContinuousBatcher:
         have_active = any(r is not None for r in self.slot_req)
         if not self._pending:
             if not have_active:
-                self.phase_s["admit"] += t1 - t0
+                self.phase_s["admit"] += self._admit_work
+                self.phase_s["admit_wait"] += (t1 - t0) - self._admit_work
                 return 0
             self._dispatch_step(fresh)
             fresh = 0  # this dispatch already carries the fresh streams
@@ -1104,7 +1222,8 @@ class ContinuousBatcher:
         for p in pend:  # FIFO: _done_np mirrors stay in dispatch order
             out = self._collect(p)
         t3 = t()
-        self.phase_s["admit"] += t1 - t0
+        self.phase_s["admit"] += self._admit_work
+        self.phase_s["admit_wait"] += (t1 - t0) - self._admit_work
         self.phase_s["dispatch"] += t2 - t1
         self.phase_s["collect"] += t3 - t2
         return out

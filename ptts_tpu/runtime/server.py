@@ -45,7 +45,7 @@ import numpy as np
 
 from .. import api
 from ..io.wav import Audio, quantize_i16
-from .batching import ContinuousBatcher
+from .batching import ContinuousBatcher, QueueFull
 
 
 def wav_bytes(audio: Audio) -> bytes:
@@ -89,22 +89,27 @@ class TTSService:
     def __init__(self, ctx: "api.Context", slots: int = 16,
                  max_len: int = 768, prefix_budget: int = 128,
                  max_num_steps: int = 8, frames_per_step: int = 1,
-                 pipeline: bool = False, split_admit=None):
+                 pipeline: bool = False, split_admit=None,
+                 max_queue: Optional[int] = None):
         # frames_per_step > 1 amortizes dispatch/readback across K frames
         # (the sustained-throughput operating point, PERF.md); split_admit
         # (default: auto) keeps a fresh stream's first chunk off the bulk
         # K-frame transfer; pipeline overlaps step N+1's dispatch under N's
         # readback (wins device-bound, loses on PCM-readback tunnels).
+        # max_queue bounds admitted-but-unserved requests (default 4x slots;
+        # 0 = unbounded): past it, submit raises QueueFull -> HTTP 429, so a
+        # flood becomes client backpressure instead of unbounded host memory.
         self.ctx = ctx
         self.batcher = ContinuousBatcher(
             ctx.engine, slots=slots, max_len=max_len,
             prefix_budget=prefix_budget, max_num_steps=max_num_steps,
             frames_per_step=frames_per_step, pipeline=pipeline,
             split_admit=split_admit,
+            max_queue=4 * slots if max_queue is None else max_queue,
         )
         self._cv = threading.Condition()
         self._results = {}           # rid -> (Audio, publish_time)
-        self._errors = {}
+        self._errors = {}            # rid -> (Exception, publish_time)
         # rid -> streaming subscription (chunk hand-off to /tts-stream
         # waiters); entries are created under the lock at submit time and
         # removed by the consuming generator
@@ -131,10 +136,33 @@ class TTSService:
                 timeout=timeout,
             )
             if not ok:
+                # deadline enforcement: retire the request itself (queued ->
+                # dequeued, in a slot -> slot freed for the next admission),
+                # not just this waiter -- a timed-out request must stop
+                # holding serving capacity
+                self.batcher.cancel(rid)
+                self._results.pop(rid, None)
+                self._errors.pop(rid, None)
                 raise TimeoutError(f"request {rid} timed out")
             if rid in self._errors:
-                raise self._errors.pop(rid)
+                raise self._errors.pop(rid)[0]
             return self._results.pop(rid)[0]
+
+    def cancel(self, rid: int) -> bool:
+        """Abandon a request: frees its queue entry / slot / unclaimed
+        result in the batcher and drops any server-side result, error, or
+        stream subscription. Idempotent; returns True if anything held
+        state for the rid."""
+        with self._cv:
+            hit = self.batcher.cancel(rid)
+            hit = self._results.pop(rid, None) is not None or hit
+            hit = self._errors.pop(rid, None) is not None or hit
+            st = self._streams.pop(rid, None)
+            if st is not None:
+                hit = True
+                st["err"] = st["err"] or api.PttsError("request cancelled")
+                self._cv.notify_all()  # wake any blocked consumer
+        return hit
 
     def generate(self, text: str, voice: Optional[str] = None,
                  params: Optional["api.Params"] = None,
@@ -188,6 +216,14 @@ class TTSService:
         finally:
             with self._cv:
                 self._streams.pop(rid, None)
+                finished = st["done"] or st["err"] is not None
+            if not finished:
+                # exiting mid-stream (client disconnect -> GeneratorExit,
+                # consumer timeout, ...) abandons the request: free its slot
+                # so the next admission reuses it instead of the row
+                # generating to max_frames, and drop the benign-race Result
+                # instead of parking it in _results for result_ttl
+                self.cancel(rid)
 
     def _drain_streams_locked(self, b: ContinuousBatcher) -> None:
         """Move newly collected chunks / final tails to stream subscribers.
@@ -226,15 +262,20 @@ class TTSService:
         dropped, and their slots' host mirrors are marked done so the
         device retires them instead of generating to max_frames."""
         b = self.batcher
+        now = time.monotonic()
         with self._cv:
+            # streaming rids get the error via st['err'] below; putting them
+            # in _errors too would leak (nothing pops _errors for streams)
             for req in list(b.queue):
-                self._errors[req.rid] = e
+                if req.rid not in self._streams:
+                    self._errors[req.rid] = (e, now)
                 b.chunks.pop(req.rid, None)
                 b.first_chunk_t.pop(req.rid, None)
             b.queue.clear()
             for slot, req in enumerate(b.slot_req):
                 if req is not None:
-                    self._errors[req.rid] = e
+                    if req.rid not in self._streams:
+                        self._errors[req.rid] = (e, now)
                     b.chunks.pop(req.rid, None)
                     b.first_chunk_t.pop(req.rid, None)
                     b.slot_req[slot] = None
@@ -277,10 +318,12 @@ class TTSService:
                             samples=res.audio,  # f32 view for API consumers
                             pcm_i16=res.pcm_i16,  # exact device WAV bytes
                         ), now)
-                    # expire unclaimed results (timed-out waiters never pop)
-                    for rid, (_, ts) in list(self._results.items()):
-                        if now - ts > self.result_ttl:
-                            del self._results[rid]
+                    # expire unclaimed results/errors (timed-out waiters
+                    # never pop theirs)
+                    for d in (self._results, self._errors):
+                        for rid, (_, ts) in list(d.items()):
+                            if now - ts > self.result_ttl:
+                                del d[rid]
                     self._cv.notify_all()
 
 
@@ -335,10 +378,23 @@ def make_handler(service: TTSService):
                 self._send(200, wav_bytes(audio), "audio/wav")
             except (KeyError, json.JSONDecodeError, TypeError) as e:
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
+            except QueueFull as e:
+                # backpressure: the admission queue is at max_queue
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                body = f"busy: {e}".encode()
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             except api.PttsError as e:
                 # user-input errors (over-budget prompt, bad params) are the
                 # client's fault, not a server failure
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
+            except TimeoutError as e:
+                # wait() already retired the request (slot freed)
+                self._send(504, f"deadline exceeded: {e}".encode(),
+                           "text/plain")
             except Exception as e:
                 self._send(500, f"error: {e}".encode(), "text/plain")
 
@@ -350,6 +406,15 @@ def make_handler(service: TTSService):
             try:
                 text, voice, params = self._parse_body()
                 rid = service.submit_stream(text, voice=voice, params=params)
+            except QueueFull as e:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                body = f"busy: {e}".encode()
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except (KeyError, json.JSONDecodeError, TypeError,
                     api.PttsError) as e:
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
@@ -357,24 +422,36 @@ def make_handler(service: TTSService):
             except Exception as e:
                 self._send(500, f"error: {e}".encode(), "text/plain")
                 return
+            # HTTP/1.0 clients can't parse chunked framing (they'd read the
+            # hex size lines as PCM): stream unframed and delimit by
+            # connection close instead
+            chunked = self.request_version >= "HTTP/1.1"
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("X-PTTS-Format", "s16le")
             self.send_header("X-PTTS-Sample-Rate",
                              str(params.sample_rate))
             self.send_header("X-PTTS-Request-Id", str(rid))
-            self.send_header("Transfer-Encoding", "chunked")
+            if chunked:
+                self.send_header("Transfer-Encoding", "chunked")
+            else:
+                self.close_connection = True
             self.end_headers()
             try:
                 for pcm in service.stream_chunks(rid, timeout=300):
                     data = pcm.astype("<i2").tobytes()
-                    self.wfile.write(b"%X\r\n" % len(data))
-                    self.wfile.write(data)
-                    self.wfile.write(b"\r\n")
-                self.wfile.write(b"0\r\n\r\n")
+                    if chunked:
+                        self.wfile.write(b"%X\r\n" % len(data))
+                        self.wfile.write(data)
+                        self.wfile.write(b"\r\n")
+                    else:
+                        self.wfile.write(data)
+                if chunked:
+                    self.wfile.write(b"0\r\n\r\n")
             except Exception:
                 # mid-stream failure (step error, client gone): drop the
                 # connection; the generator's finally already unsubscribed
+                # AND cancelled the request (its slot is free for reuse)
                 self.close_connection = True
 
     return Handler
@@ -403,6 +480,10 @@ def main() -> int:
     ap.add_argument("--pipeline", action="store_true",
                     help="overlap step N+1's dispatch under step N's "
                          "readback (wins when PCM stays device-local)")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="bound on queued-but-unserved requests (default "
+                         "4x slots, 0=unbounded); past it /tts and "
+                         "/tts-stream return 429")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the startup precompile request")
     args = ap.parse_args()
@@ -410,7 +491,7 @@ def main() -> int:
     ctx = api.load_dir(args.model_dir)
     httpd = serve(ctx, host=args.host, port=args.port, slots=args.slots,
                   max_len=args.max_len, frames_per_step=args.frames_per_step,
-                  pipeline=args.pipeline)
+                  pipeline=args.pipeline, max_queue=args.max_queue)
     if not args.no_warmup:
         # pay the serving-path XLA compiles before accepting traffic (the
         # persistent compile cache makes this near-instant after the first

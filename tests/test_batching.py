@@ -525,3 +525,74 @@ def test_device_noise_roundtrip_matches_host_path(ctx):
     rid2 = b2.enqueue(req2)
     res2 = b2.drain()[rid2]
     np.testing.assert_array_equal(res.pcm_i16, res2.pcm_i16)
+
+
+def test_max_queue_backpressure(ctx):
+    """Past max_queue, enqueue raises QueueFull instead of growing the
+    deque/chunks without bound (serving-front-door backpressure)."""
+    from ptts_tpu.runtime.batching import QueueFull
+
+    p = api.Params(num_frames=2, num_steps=1, seed=1, eos_enabled=False)
+    b = ContinuousBatcher(ctx.engine, slots=1, max_len=96, admit_chunk=1,
+                          prefix_budget=32, max_queue=2)
+    b.submit("one", params=p)
+    b.submit("two", params=p)
+    with pytest.raises(QueueFull):
+        b.submit("three", params=p)
+    assert len(b.queue) == 2 and len(b.chunks) == 2
+    # QueueFull is a PttsError, so the HTTP layer's 4xx mapping catches it
+    assert issubclass(QueueFull, api.PttsError)
+
+
+def test_cancel_queued_request(ctx):
+    """Cancelling a queued request dequeues it; it never runs and leaves no
+    chunk buffer behind."""
+    p = api.Params(num_frames=2, num_steps=1, seed=1, eos_enabled=False)
+    b = ContinuousBatcher(ctx.engine, slots=1, max_len=96, admit_chunk=1,
+                          prefix_budget=32)
+    r0 = b.submit("hello", params=p)
+    r1 = b.submit("world", params=p)
+    assert b.cancel(r1)
+    assert not b.cancel(r1)      # idempotent: second cancel is a no-op
+    assert not b.cancel(10_000)  # unknown rid
+    results = b.drain()
+    assert set(results) == {r0}
+    assert r1 not in b.chunks and not b.queue
+
+
+@pytest.mark.slow
+def test_cancel_in_slot_frees_it_for_next_admission(ctx):
+    """Cancelling an in-flight request frees its slot: with one slot, the
+    queued follower is admitted and still matches its own offline run."""
+    p = api.Params(num_frames=6, num_steps=1, seed=2, temp=0.3,
+                   eos_enabled=False)
+    b = ContinuousBatcher(ctx.engine, slots=1, max_len=96, admit_chunk=1,
+                          prefix_budget=32)
+    r0 = b.submit("hello", params=p)
+    r1 = b.submit("world", params=p)
+    b.step()  # admits r0, runs its first frame
+    slot = b.slot_rows[0]
+    assert b.slot_req[slot] is not None and b.slot_req[slot].rid == r0
+    assert b.cancel(r0)
+    assert b.slot_req[slot] is None and bool(b._done_np[slot])
+    results = b.drain()
+    assert set(results) == {r1}
+    assert results[r1].frames == 6
+    p_off = api.Params(**{**p.__dict__, "seed": p.seed + r1})
+    want = _offline(ctx, "world", p_off)
+    _assert_pcm_close(results[r1], want.samples, msg="follower", max_lsb=10)
+
+
+def test_cancel_finished_unclaimed(ctx):
+    """Cancelling after completion drops the unclaimed Result."""
+    p = api.Params(num_frames=2, num_steps=1, seed=1, eos_enabled=False)
+    b = ContinuousBatcher(ctx.engine, slots=1, max_len=96, admit_chunk=1,
+                          prefix_budget=32)
+    rid = b.submit("hello", params=p)
+    for _ in range(64):
+        b.step()
+        if rid in b.finished:
+            break
+    assert rid in b.finished
+    assert b.cancel(rid)
+    assert rid not in b.finished and rid not in b.chunks
