@@ -272,7 +272,7 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                       frames_per_step: int = 1, collect_pcm: bool = True,
                       admit_chunk: int = 32, pipeline: bool = False,
                       max_len: int = 128, label: str = "",
-                      split_admit=None):
+                      split_admit=None, spec_admit: bool = False):
     """Sustained continuous-batching throughput on the chip.
 
     Drives the production ContinuousBatcher (admission -> fused
@@ -312,7 +312,7 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                           prefix_budget=T0, max_num_steps=1,
                           frames_per_step=frames_per_step,
                           collect_pcm=collect_pcm, pipeline=pipeline,
-                          split_admit=split_admit)
+                          split_admit=split_admit, spec_admit=spec_admit)
     rng = np.random.default_rng(0)
     # ids admission path (the production prepare() route): one voice cond
     # cached on device, each request ships token ids only -- a host-built
@@ -611,6 +611,15 @@ def main() -> int:
             pipeline=True)
         result["detail"]["batcher_device_streams"] = round(streams_d, 2)
         result["detail"]["batcher_device_p50_ms"] = round(p50_d, 1)
+        # speculative (mid-step) admission: the admit program picks its
+        # target rows ON DEVICE, so rows freed in the still-uncollected
+        # window refill for the very next window -- closes the occupancy
+        # gap that capped the pipelined plateau at ~71% (PERF.md round 5)
+        streams_sp, p50_sp, _, _ = run_batcher_bench(
+            dslots, dtype, dreqs, frames_per_step=bfps, collect_pcm=False,
+            pipeline=True, spec_admit=True, label="spec-admit")
+        result["detail"]["batcher_device_spec_streams"] = round(streams_sp, 2)
+        result["detail"]["batcher_device_spec_p50_ms"] = round(p50_sp, 1)
         streams_ds, p50_ds, _, _ = run_batcher_bench(
             dslots, dtype, dreqs, frames_per_step=bfps, collect_pcm=False)
         result["detail"]["batcher_device_serial_streams"] = round(streams_ds, 2)

@@ -188,6 +188,22 @@ def _device_noise_rows(noise_seed, noise_meta, frames, F, C, dtype):
     return jnp.where(live, z, 0.0).astype(dtype)
 
 
+def _select_free_rows(done, slot_mask, n_valid, n, trash_row):
+    """Choose up to ``n`` free pool rows ON DEVICE: the lowest-index rows
+    where ``done & slot_mask`` (speculative admission -- the host dispatches
+    this program without knowing which rows are free; the device state is
+    the truth, including EOS from steps whose flags the host has not read
+    back yet). Entries beyond ``n_valid`` (chunk padding) and requests that
+    found no free row map to the trash row; the host re-queues the latter
+    when the row receipt arrives (ContinuousBatcher._resolve_receipt)."""
+    B1 = done.shape[0]
+    score = jnp.where(done & slot_mask,
+                      B1 - jnp.arange(B1, dtype=jnp.int32), 0)
+    vals, rows = jax.lax.top_k(score, n)      # distinct lowest-index frees
+    ok = (vals > 0) & (jnp.arange(n) < n_valid)
+    return jnp.where(ok, rows, trash_row).astype(jnp.int32)
+
+
 def _admit_core(
     w, cache, x_all, eos_step, done, frame_idx, mimi_state, time_embs,
     noise_tab, params, slot_ids, prefix, lengths, te_rows, noise_rows,
@@ -248,7 +264,9 @@ def _admit_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "flags", "device_noise"),
+    jax.jit,
+    static_argnames=("cfg", "flags", "device_noise", "spec_select",
+                     "trash_row"),
     # only the big buffers are donated: the [B1]-scalar state (done,
     # eos_step, frame_idx) and x_all stay un-donated because the in-flight
     # pipelined frame (ContinuousBatcher._pending) still references them
@@ -279,23 +297,36 @@ def admit_slots(
     noise_seed: Optional[jnp.ndarray] = None,   # [n] device-noise seeds
     noise_meta: Optional[jnp.ndarray] = None,   # [2, n] f32 (std, clamp)
     device_noise: bool = False,
+    spec_select: bool = False,
+    n_valid: Optional[jnp.ndarray] = None,      # [] int32 real requests
+    slot_mask: Optional[jnp.ndarray] = None,    # [B1] bool candidate rows
+    trash_row: int = 0,
 ):
     """Prefill n new prompts and scatter their state into the pool rows.
 
     New prompts' K/V go to prefix columns [0, T0); their decode region begins
     at the current shared cursor (cache.start[slot] = cache.cursor).
-    """
+
+    ``spec_select=True`` (speculative admission): ignore ``slot_ids`` and
+    choose target rows ON DEVICE from the live ``done`` flags; additionally
+    return the chosen rows so the host can resolve rid -> slot."""
+    if spec_select:
+        n = prefix.shape[0]
+        slot_ids = _select_free_rows(done, slot_mask, n_valid, n, trash_row)
     if device_noise:
         noise_rows = _device_noise_rows(
             noise_seed, noise_meta, new_params[3],
             noise_tab.shape[1], noise_tab.shape[2], noise_tab.dtype)
-    return _admit_core(w, cache, x_all, eos_step, done, frame_idx, mimi_state,
-                       time_embs, noise_tab, params, slot_ids, prefix,
-                       lengths, te_rows, noise_rows, new_params, cfg, flags)
+    out = _admit_core(w, cache, x_all, eos_step, done, frame_idx, mimi_state,
+                      time_embs, noise_tab, params, slot_ids, prefix,
+                      lengths, te_rows, noise_rows, new_params, cfg, flags)
+    return out + (slot_ids,) if spec_select else out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "flags", "prefix_budget", "device_noise"),
+    jax.jit,
+    static_argnames=("cfg", "flags", "prefix_budget", "device_noise",
+                     "spec_select", "trash_row"),
     donate_argnames=("cache", "mimi_state", "time_embs", "noise_tab",
                      "params"),
 )
@@ -325,14 +356,23 @@ def admit_slots_ids(
     noise_seed: Optional[jnp.ndarray] = None,   # [n] device-noise seeds
     noise_meta: Optional[jnp.ndarray] = None,   # [2, n] f32 (std, clamp)
     device_noise: bool = False,
+    spec_select: bool = False,
+    n_valid: Optional[jnp.ndarray] = None,      # [] int32 real requests
+    slot_mask: Optional[jnp.ndarray] = None,    # [B1] bool candidate rows
+    trash_row: int = 0,
 ):
     """Admission from TOKEN IDS: the prompt embedding matrix is built ON
     DEVICE (engine._build_prefix semantics, ptts_flowlm.c:1159-1185:
     voice-cond frames + text-embedding rows + projected BOS).
 
+    ``spec_select=True``: device-chosen target rows (see admit_slots).
+
     A host-assembled [T0, d_model] prefix is ~128 KB/request over the wire;
     ids + a bank index are ~100 bytes. On remote-tunnel serving the prefix
     upload was the admission bottleneck (PERF.md round 3)."""
+    if spec_select:
+        slot_ids = _select_free_rows(done, slot_mask, n_valid,
+                                     ids.shape[0], trash_row)
     n, Tt = ids.shape
     T0 = prefix_budget
     Tc = cond_bank.shape[1]
@@ -367,9 +407,10 @@ def admit_slots_ids(
         noise_rows = _device_noise_rows(
             noise_seed, noise_meta, new_params[3],
             noise_tab.shape[1], noise_tab.shape[2], noise_tab.dtype)
-    return _admit_core(w, cache, x_all, eos_step, done, frame_idx, mimi_state,
-                       time_embs, noise_tab, params, slot_ids, prefix,
-                       lengths, te_rows, noise_rows, new_params, cfg, flags)
+    out = _admit_core(w, cache, x_all, eos_step, done, frame_idx, mimi_state,
+                      time_embs, noise_tab, params, slot_ids, prefix,
+                      lengths, te_rows, noise_rows, new_params, cfg, flags)
+    return out + (slot_ids,) if spec_select else out
 
 
 class ContinuousBatcher:
@@ -401,12 +442,25 @@ class ContinuousBatcher:
                  cond_budget: int = 0, collect_pcm: bool = True,
                  device_noise: bool = True,
                  split_admit: Optional[bool] = None,
-                 max_queue: int = 0):
+                 max_queue: int = 0,
+                 spec_admit: bool = False):
         # max_queue bounds the admission queue (0 = unbounded): enqueue()
         # raises QueueFull past the bound so a submit flood turns into
         # client backpressure (HTTP 429) instead of unbounded host memory
         # growth in the deque + chunks dict.
         self.max_queue = int(max_queue)
+        # spec_admit (speculative / mid-step admission): the admit program
+        # chooses its target rows ON DEVICE from the live done flags instead
+        # of host-picked slots, so the host can dispatch admissions for rows
+        # it has not yet learned are free. In the pipelined loop a row that
+        # EOSes in the in-flight window refills for the very next window --
+        # per-stream dead time drops from ~1.5K frames (EOS-to-window-end +
+        # one full window of host flag latency) to ~K/2 (PERF.md round-5
+        # occupancy model). The host learns rid->row from a tiny async
+        # "receipt" readback resolved in dispatch order before the first
+        # step that could carry the new rows' flags; requests that found no
+        # free row land in the trash row and are re-queued at resolve time.
+        self.spec_admit = bool(spec_admit)
         # split_admit: when a step admitted fresh requests and K > 1,
         # dispatch that step as TWO programs (k=1 then k=K-1, numerically
         # identical to one k=K scan) so the fresh streams' first chunks ride
@@ -598,6 +652,24 @@ class ContinuousBatcher:
         self._admit_seq = np.full(self.B1, -1, np.int64)
         self._slot_nframes = np.zeros(self.B1, np.int64)  # device-bound count
         self.pipeline = pipeline
+        # speculative-admission state (spec_admit): FIFO receipts of
+        # (device rows array, [requests in chunk order], tag) where tag is
+        # the seq of the first step program dispatched AFTER the admit --
+        # _collect resolves every receipt with tag <= the step being
+        # collected, so slot_req/host mirrors are installed exactly between
+        # the last pre-admit step and the first post-admit step.
+        if self.spec_admit and self.n_hosts > 1:
+            raise api.PttsError(
+                "spec_admit requires a single host group (device row "
+                "selection has no per-group queue affinity)")
+        self._receipts: List[tuple] = []
+        self._spec_inflight = 0        # receipt requests not yet resolved
+        self._spec_cancelled: set = set()
+        self._finish_ema = 0.0         # finishes per collected step (EMA)
+        if self.spec_admit:
+            mask = np.zeros(self.B1, bool)
+            mask[self.slot_rows] = True
+            self._spec_mask = self._put_b(jnp.asarray(mask))
 
     # -- device placement ------------------------------------------------------
 
@@ -814,6 +886,17 @@ class ContinuousBatcher:
                     self.chunks.pop(rid, None)
                     self.first_chunk_t.pop(rid, None)
                     return True
+            # in an unresolved speculative-admit receipt? mark it: resolve
+            # skips the install (the device row, if one was chosen, runs to
+            # its own max_frames unobserved and then frees itself)
+            for rec in list(self._receipts):
+                if any(r.rid == rid for r in rec[1]):
+                    if rid not in self._spec_cancelled:
+                        self._spec_cancelled.add(rid)
+                        self.chunks.pop(rid, None)
+                        self.first_chunk_t.pop(rid, None)
+                        return True
+                    return False  # already cancelled
             # finished but unclaimed?
             if self.finished.pop(rid, None) is not None:
                 self.chunks.pop(rid, None)
@@ -858,6 +941,8 @@ class ContinuousBatcher:
         # loss in BOTH modes (device-bound 947 -> 1138 streams/chip, tunnel
         # 276 -> 394; the RPC roundtrip serialized every admitting step --
         # PERF.md round 3 "admission fence removal").
+        if self.spec_admit:
+            return self._admit_spec()
         admitted = 0
         work = 0.0  # tight-timed assembly+dispatch (phase_s attribution)
         for h in range(self.n_hosts):
@@ -873,11 +958,41 @@ class ContinuousBatcher:
                 self._admit_group(group, self._host_trash[h])
                 work += time.perf_counter() - tg
                 admitted += len(group)
-        self._admit_work = work
+        self._admit_work += work
+        return admitted
+
+    def _admit_spec(self) -> int:
+        """Speculative admission: dispatch admit programs whose target rows
+        are chosen ON DEVICE, budgeted past the host's lagged free count by
+        the recent finish rate -- that overshoot is exactly what lets rows
+        freed in the still-uncollected window refill for the next window.
+        Overshoot that finds no free row lands in the trash row and is
+        re-queued when the receipt resolves (a wasted padded prefill, bounded
+        by the EMA error)."""
+        q = self.queues[0]
+        if not q:
+            return 0
+        known_free = sum(1 for s in self._host_slots[0]
+                         if self.slot_req[s] is None)
+        budget = (known_free - self._spec_inflight
+                  + int(np.ceil(self._finish_ema * 1.5)))
+        budget = min(budget, len(q))
+        admitted = 0
+        work = 0.0
+        while budget > 0 and q:
+            take = min(self.admit_chunk, budget, len(q))
+            group = [(None, q.popleft()) for _ in range(take)]
+            tg = time.perf_counter()
+            self._admit_group(group, self._host_trash[0], spec=True)
+            work += time.perf_counter() - tg
+            admitted += take
+            budget -= take
+        self._spec_inflight += admitted
+        self._admit_work += work
         return admitted
 
     def _admit_group(self, group: List[Tuple[int, Request]],
-                     trash_row: int) -> None:
+                     trash_row: int, spec: bool = False) -> None:
         # partition by admit program variant: (prompt as ids vs host prefix)
         # x (noise drawn on device vs host-uploaded parity rows). A MIXED
         # group pays one full-chunk-padded admit program per variant present
@@ -894,9 +1009,9 @@ class ContinuousBatcher:
                 if not sub:
                     continue
                 if by_ids:
-                    self._admit_group_ids(sub, trash_row, dev_noise)
+                    self._admit_group_ids(sub, trash_row, dev_noise, spec)
                 else:
-                    self._admit_group_prefix(sub, trash_row, dev_noise)
+                    self._admit_group_prefix(sub, trash_row, dev_noise, spec)
 
     def _admit_bookkeep(self, group, trash_row, dev_noise: bool):
         """Shared per-group host bookkeeping; returns the padded admission
@@ -923,7 +1038,6 @@ class ContinuousBatcher:
         new_params[3] = 1
         new_params[4] = 1
         for j, (slot, req) in enumerate(group):
-            slot_ids[j] = slot
             te_rows[j] = self._te_row(req.num_steps)
             if dev_noise:
                 noise["seed"][j] = np.uint32(req.noise_seed & 0xFFFFFFFF).view(np.int32)
@@ -934,19 +1048,25 @@ class ContinuousBatcher:
                 noise["rows"][j, : len(req.noise)] = req.noise
             new_params[:, j] = (req.eos_threshold, req.eos_min_frames,
                                 req.eos_after, req.max_frames, req.num_steps)
-            self.slot_req[slot] = req
-            self._eos_after[slot] = req.eos_after
-            self._max_frames[slot] = req.max_frames
-            self._num_steps[slot] = req.num_steps
-            self._eos_threshold[slot] = req.eos_threshold
-            self._eos_min_frames[slot] = req.eos_min_frames
-            # host mirror (see __init__): slot becomes live for every
-            # dispatch with seq >= the current counter
-            self._done_np[slot] = False
-            self._admit_seq[slot] = self._seq
-            self._slot_nframes[slot] = 0
+            if slot is None:  # spec_admit: the device picks the row; host
+                continue      # mirrors install at receipt-resolve time
+            slot_ids[j] = slot
+            self._install_slot(slot, req, self._seq)
         self.n_admit_groups += 1
         return slot_ids, te_rows, noise, new_params
+
+    def _install_slot(self, slot: int, req: Request, admit_seq: int) -> None:
+        """Host mirrors for a newly admitted request: the slot becomes live
+        for every dispatch with seq >= admit_seq (see __init__)."""
+        self.slot_req[slot] = req
+        self._eos_after[slot] = req.eos_after
+        self._max_frames[slot] = req.max_frames
+        self._num_steps[slot] = req.num_steps
+        self._eos_threshold[slot] = req.eos_threshold
+        self._eos_min_frames[slot] = req.eos_min_frames
+        self._done_np[slot] = False
+        self._admit_seq[slot] = admit_seq
+        self._slot_nframes[slot] = 0
 
     def _noise_args(self, noise: Dict[str, np.ndarray]) -> Dict[str, Any]:
         """kwargs for the admit program's noise variant (host vs device)."""
@@ -959,8 +1079,25 @@ class ContinuousBatcher:
                 "noise_meta": self._put_rep(noise["meta"]),
                 "device_noise": True}
 
+    def _spec_kwargs(self, n_valid: int) -> Dict[str, Any]:
+        return {"spec_select": True,
+                "n_valid": self._put_rep(np.int32(n_valid)),
+                "slot_mask": self._spec_mask,
+                "trash_row": int(self.trash)}
+
+    def _push_receipt(self, rows_dev, group) -> None:
+        """Record a speculative admit's device-chosen rows for later
+        resolution (tag = the seq of the first step dispatched after it)."""
+        try:
+            rows_dev.copy_to_host_async()
+        except Exception:
+            pass
+        self._receipts.append((rows_dev, [req for _, req in group],
+                               self._seq))
+
     def _admit_group_prefix(self, group: List[Tuple[int, Request]],
-                            trash_row: int, dev_noise: bool) -> None:
+                            trash_row: int, dev_noise: bool,
+                            spec: bool = False) -> None:
         n = self.admit_chunk
         T0 = self.prefix_budget
         slot_ids, te_rows, noise, new_params = self._admit_bookkeep(
@@ -971,9 +1108,7 @@ class ContinuousBatcher:
             prefix[j, : len(req.prefix)] = req.prefix
             lengths[j] = len(req.prefix)
 
-        (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
-         self.mimi_state, self.time_embs, self.noise_tab,
-         self._params_dev) = admit_slots(
+        out = admit_slots(
             self.engine.fw, self.cache, self.x, self.eos_step, self.done,
             self.frame_idx, self.mimi_state, self.time_embs,
             self.noise_tab, self._params_dev,
@@ -983,10 +1118,17 @@ class ContinuousBatcher:
             new_params=self._put_rep(new_params), cfg=self.cfg,
             flags=self.engine.flags,
             **self._noise_args(noise),
+            **(self._spec_kwargs(len(group)) if spec else {}),
         )
+        (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
+         self.mimi_state, self.time_embs, self.noise_tab,
+         self._params_dev) = out[:9]
+        if spec:
+            self._push_receipt(out[9], group)
 
     def _admit_group_ids(self, group: List[Tuple[int, Request]],
-                         trash_row: int, dev_noise: bool) -> None:
+                         trash_row: int, dev_noise: bool,
+                         spec: bool = False) -> None:
         n = self.admit_chunk
         Tt = self.prefix_budget
         slot_ids, te_rows, noise, new_params = self._admit_bookkeep(
@@ -999,9 +1141,7 @@ class ContinuousBatcher:
             n_tokens[j] = len(req.ids)
             cond_idx[j] = req.voice_idx
 
-        (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
-         self.mimi_state, self.time_embs, self.noise_tab,
-         self._params_dev) = admit_slots_ids(
+        out = admit_slots_ids(
             self.engine.fw, self.cache, self.x, self.eos_step, self.done,
             self.frame_idx, self.mimi_state, self.time_embs,
             self.noise_tab, self._params_dev,
@@ -1013,7 +1153,13 @@ class ContinuousBatcher:
             prefix_budget=self.prefix_budget, cfg=self.cfg,
             flags=self.engine.flags,
             **self._noise_args(noise),
+            **(self._spec_kwargs(len(group)) if spec else {}),
         )
+        (self.cache, self.x, self.eos_step, self.done, self.frame_idx,
+         self.mimi_state, self.time_embs, self.noise_tab,
+         self._params_dev) = out[:9]
+        if spec:
+            self._push_receipt(out[9], group)
 
     # -- double-buffered frame machinery --------------------------------------
     #
@@ -1105,9 +1251,40 @@ class ContinuousBatcher:
         else:
             self._dispatch(k)
 
+    def _resolve_receipt(self, rec) -> None:
+        """Install a speculative admit's device-chosen rows into the host
+        mirrors. Called in dispatch order: after collecting every step that
+        ran before the admit, before collecting the first step after it --
+        so slot_req/chunk routing sees exactly the device's timeline.
+        Requests the device dumped in the trash row (no free row at admit
+        execution time) re-enter the FRONT of the queue."""
+        rows_dev, reqs, tag = rec
+        rows = np.asarray(rows_dev)
+        requeue = []
+        for j, req in enumerate(reqs):
+            self._spec_inflight -= 1
+            if req.rid in self._spec_cancelled:
+                # cancelled while in flight: if the device installed it, the
+                # row burns to its own max_frames unobserved, then becomes
+                # choosable again (host keeps slot_req[row] None)
+                self._spec_cancelled.discard(req.rid)
+                continue
+            row = int(rows[j])
+            if row == self.trash:
+                requeue.append(req)
+            else:
+                self._install_slot(row, req, tag)
+        q = self.queues[0]
+        for req in reversed(requeue):
+            q.appendleft(req)
+
     def _collect(self, pend) -> int:
         """Read an in-flight frame's chunk(s); finalize finished requests."""
         pcm_dev, done_dev, was_done_dev, seq = pend
+        # speculative admits that were dispatched before this step: their
+        # rows are live IN this step's flags -- install them first
+        while self._receipts and self._receipts[0][2] <= seq:
+            self._resolve_receipt(self._receipts.pop(0))
         t = time.perf_counter
         t0 = t()
         done_np = np.asarray(done_dev)  # tiny: isolates device-queue wait...
@@ -1134,6 +1311,7 @@ class ContinuousBatcher:
         if not self.collect_pcm:
             return self._collect_counts(done_np, was_done, fresh)
         t_pcm = t2  # chunks became host-readable when the PCM copy landed
+        n_pub = 0
         for slot in self.slot_rows:
             req = self.slot_req[slot]
             if req is None or fresh[slot]:
@@ -1159,6 +1337,8 @@ class ContinuousBatcher:
                     first_chunk_t=self.first_chunk_t.pop(req.rid, -1.0),
                 )
                 self.slot_req[slot] = None
+                n_pub += 1
+        self._finish_ema = 0.8 * self._finish_ema + 0.2 * n_pub
         return sum(1 for s in self.slot_req if s is not None)
 
     def _collect_counts(self, done_np, was_done, fresh) -> int:
@@ -1192,18 +1372,30 @@ class ContinuousBatcher:
                 rid=req.rid, pcm_i16=np.zeros(0, np.int16), frames=n,
                 first_chunk_t=self.first_chunk_t.pop(req.rid, -1.0))
             self.slot_req[slot] = None
+        self._finish_ema = (0.8 * self._finish_ema
+                            + 0.2 * int((act & done_np).sum()))
         return int(live.sum() - (act & done_np).sum())
 
     def step(self) -> int:
         """Admit + collect one pool step. Returns #active streams."""
         t = time.perf_counter
         self.n_steps += 1
-        if self._pending and all(r is None for r in self.slot_req):
+        self._admit_work = 0.0
+        if (self._pending and not self._receipts
+                and all(r is None for r in self.slot_req)):
             pend, self._pending = self._pending, []
             for p in pend:
                 self._collect(p)  # flush stale speculative frames
         t0 = t()
         fresh = self._admit()
+        if (self._receipts and not self._pending
+                and not any(r is not None for r in self.slot_req)):
+            # nothing in flight to carry the receipts forward: resolve them
+            # now (blocking on the tiny rows array) so their requests either
+            # go live in slot_req or re-queue, then admit again
+            while self._receipts:
+                self._resolve_receipt(self._receipts.pop(0))
+            fresh += self._admit()
         t1 = t()
         have_active = any(r is not None for r in self.slot_req)
         if not self._pending:
@@ -1214,7 +1406,8 @@ class ContinuousBatcher:
             self._dispatch_step(fresh)
             fresh = 0  # this dispatch already carries the fresh streams
         pend, self._pending = self._pending, []
-        if self.pipeline and not self._done_np[self.slot_rows].all():
+        if self.pipeline and (self._spec_inflight > 0
+                              or not self._done_np[self.slot_rows].all()):
             # speculative next step: overlaps the readback in _collect()
             self._dispatch_step(fresh)
         t2 = t()
@@ -1230,7 +1423,8 @@ class ContinuousBatcher:
 
     def drain(self, max_steps: int = 100000) -> Dict[int, Result]:
         steps = 0
-        while (self.queue or any(r is not None for r in self.slot_req)):
+        while (self.queue or self._receipts
+               or any(r is not None for r in self.slot_req)):
             self.step()
             steps += 1
             if steps > max_steps:

@@ -281,6 +281,17 @@ class TTSService:
                     b.slot_req[slot] = None
                     b._done_np[slot] = True
                     b._max_frames[slot] = 0
+            # speculative-admit receipts in flight (spec_admit pools): their
+            # requests are in neither queue nor slots -- fail them too
+            for rec in b._receipts:
+                for req in rec[1]:
+                    if req.rid not in self._streams:
+                        self._errors[req.rid] = (e, now)
+                    b.chunks.pop(req.rid, None)
+                    b.first_chunk_t.pop(req.rid, None)
+            b._receipts.clear()
+            b._spec_inflight = 0
+            b._spec_cancelled.clear()
             for st in self._streams.values():  # wake streaming consumers
                 if not st["done"]:
                     st["err"] = e

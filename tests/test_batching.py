@@ -596,3 +596,85 @@ def test_cancel_finished_unclaimed(ctx):
     assert rid in b.finished
     assert b.cancel(rid)
     assert rid not in b.finished and rid not in b.chunks
+
+
+@pytest.mark.slow
+def test_spec_admit_matches_host_admit(ctx):
+    """Speculative admission (device-chosen rows, receipt-resolved host
+    mirrors) must reproduce host-picked admission per rid: slot assignment
+    may differ, but every computation is row-wise identical and noise is
+    per-request, so the PCM matches."""
+    p = api.Params(num_frames=3, num_steps=1, seed=100, temp=0.4,
+                   eos_enabled=False)
+    texts = ["hello world", "how low", "hello hello", "world world",
+             "who who"]
+    want = {}
+    b0 = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=2,
+                           prefix_budget=32)
+    for t in texts:
+        want[b0.submit(t, params=p)] = t
+    ref = b0.drain()
+
+    b1 = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=2,
+                           prefix_budget=32, spec_admit=True)
+    rids = [b1.submit(t, params=p) for t in texts]
+    got = b1.drain()
+    assert set(got) == set(rids) == set(ref)
+    assert b1._spec_inflight == 0 and not b1._receipts
+    for rid in rids:
+        np.testing.assert_array_equal(got[rid].pcm_i16, ref[rid].pcm_i16)
+
+
+@pytest.mark.slow
+def test_spec_admit_overshoot_requeues(ctx):
+    """Requests the device could not place (no free row at admit execution)
+    land in the trash row and must be re-queued by the receipt resolution,
+    finishing eventually with correct output."""
+    p = api.Params(num_frames=2, num_steps=1, seed=7, temp=0.3,
+                   eos_enabled=False)
+    b = ContinuousBatcher(ctx.engine, slots=1, max_len=96, admit_chunk=2,
+                          prefix_budget=32, spec_admit=True)
+    b._finish_ema = 8.0  # force a large speculative overshoot
+    rids = [b.submit(t, params=p) for t in ["one two", "three four",
+                                            "five six"]]
+    got = b.drain()
+    assert set(got) == set(rids)
+    assert b._spec_inflight == 0 and not b._receipts
+    for rid, text in zip(rids, ["one two", "three four", "five six"]):
+        p_off = api.Params(**{**p.__dict__, "seed": p.seed + rid})
+        want = _offline(ctx, text, p_off)
+        _assert_pcm_close(got[rid], want.samples, msg=text, max_lsb=10)
+
+
+@pytest.mark.slow
+def test_spec_admit_pipelined(ctx):
+    """spec_admit under the pipelined loop (its production operating point):
+    staggered EOS + slot reuse, results match the offline runs."""
+    p = api.Params(num_frames=3, num_steps=1, seed=50, temp=0.4,
+                   eos_enabled=False)
+    texts = ["hello world", "how low", "hello hello", "world world"]
+    b = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=2,
+                          prefix_budget=32, pipeline=True, spec_admit=True)
+    rids = [b.submit(t, params=p) for t in texts]
+    got = b.drain()
+    assert set(got) == set(rids)
+    for rid, text in zip(rids, texts):
+        p_off = api.Params(**{**p.__dict__, "seed": p.seed + rid})
+        want = _offline(ctx, text, p_off)
+        _assert_pcm_close(got[rid], want.samples, msg=text, max_lsb=10)
+
+
+def test_spec_admit_cancel_in_receipt(ctx):
+    """Cancelling a request whose speculative admit is still unresolved
+    marks it; the resolution skips the install and the rest drain fine."""
+    p = api.Params(num_frames=2, num_steps=1, seed=7, eos_enabled=False)
+    b = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=2,
+                          prefix_budget=32, spec_admit=True)
+    r0 = b.submit("hello", params=p)
+    r1 = b.submit("world", params=p)
+    assert b._admit() == 2 and b._receipts  # both in an unresolved receipt
+    assert b.cancel(r1)
+    assert not b.cancel(r1)  # idempotent
+    got = b.drain()
+    assert set(got) == {r0}
+    assert not b._spec_cancelled and b._spec_inflight == 0
