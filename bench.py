@@ -272,7 +272,8 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                       frames_per_step: int = 1, collect_pcm: bool = True,
                       admit_chunk: int = 32, pipeline: bool = False,
                       max_len: int = 128, label: str = "",
-                      split_admit=None, spec_admit: bool = False):
+                      split_admit=None, spec_admit: bool = False,
+                      stats_out: dict = None):
     """Sustained continuous-batching throughput on the chip.
 
     Drives the production ContinuousBatcher (admission -> fused
@@ -447,6 +448,12 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
             f"other={(wall - top) / n * 1e3:.1f}",
             file=sys.stderr,
         )
+    if stats_out is not None:
+        stats_out.update(
+            n_steps=b.n_steps, B1=b.B1, phase_s=dict(b.phase_s),
+            frames_done=frames_done, frame_samples=mcfg.frame_samples,
+            frames_per_step=frames_per_step, wall=wall,
+            n_admit_groups=b.n_admit_groups)
     return streams, p50, finished, wall
 
 
@@ -634,6 +641,19 @@ def main() -> int:
                 streams_p, 2)
     except Exception as e:  # never sink the headline metric
         print(f"[bench] batcher bench failed: {e}", file=sys.stderr)
+
+    # HTTP front door: first-byte latency + requests/s measured through the
+    # real server (round-4 VERDICT item 4 -- the north-star <150 ms
+    # first-chunk target is a serving-surface claim)
+    if os.environ.get("PTTS_BENCH_HTTP", "1") == "1":
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from bench_http import run_http_bench
+
+            result["detail"].update(run_http_bench())
+        except Exception as e:
+            print(f"[bench] http bench failed: {e}", file=sys.stderr)
 
     print(json.dumps(result))
     return 0

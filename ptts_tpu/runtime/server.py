@@ -90,7 +90,8 @@ class TTSService:
                  max_len: int = 768, prefix_budget: int = 128,
                  max_num_steps: int = 8, frames_per_step: int = 1,
                  pipeline: bool = False, split_admit=None,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 spec_admit: bool = False):
         # frames_per_step > 1 amortizes dispatch/readback across K frames
         # (the sustained-throughput operating point, PERF.md); split_admit
         # (default: auto) keeps a fresh stream's first chunk off the bulk
@@ -104,7 +105,7 @@ class TTSService:
             ctx.engine, slots=slots, max_len=max_len,
             prefix_budget=prefix_budget, max_num_steps=max_num_steps,
             frames_per_step=frames_per_step, pipeline=pipeline,
-            split_admit=split_admit,
+            split_admit=split_admit, spec_admit=spec_admit,
             max_queue=4 * slots if max_queue is None else max_queue,
         )
         self._cv = threading.Condition()
@@ -495,6 +496,11 @@ def main() -> int:
                     help="bound on queued-but-unserved requests (default "
                          "4x slots, 0=unbounded); past it /tts and "
                          "/tts-stream return 429")
+    ap.add_argument("--spec-admit", action="store_true",
+                    help="speculative admission: the admit program picks "
+                         "free slots ON DEVICE, refilling rows the host "
+                         "has not yet seen finish (+15% sustained at high "
+                         "occupancy; PERF.md round 5)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the startup precompile request")
     args = ap.parse_args()
@@ -502,7 +508,8 @@ def main() -> int:
     ctx = api.load_dir(args.model_dir)
     httpd = serve(ctx, host=args.host, port=args.port, slots=args.slots,
                   max_len=args.max_len, frames_per_step=args.frames_per_step,
-                  pipeline=args.pipeline, max_queue=args.max_queue)
+                  pipeline=args.pipeline, max_queue=args.max_queue,
+                  spec_admit=args.spec_admit)
     if not args.no_warmup:
         # pay the serving-path XLA compiles before accepting traffic (the
         # persistent compile cache makes this near-instant after the first

@@ -1,0 +1,182 @@
+"""HTTP front-door bench: the serving numbers measured AT the HTTP layer.
+
+Round-4 VERDICT item 4: BENCH rows measured StreamingSession / the batcher
+directly; the north-star <150 ms first-chunk target is a serving-surface
+claim, so measure it through the actual front door -- concurrent HTTP
+clients against /tts-stream (first-byte latency: request sent -> first PCM
+chunk on the socket) and /tts (whole-WAV completion + requests/s).
+
+In-process ThreadingHTTPServer over the full-size synthetic checkpoint
+(tools/make_synth_checkpoint.py, cached in /tmp): real sockets, real chunked
+framing, real handler threads -- only the model weights are synthetic.
+
+Run on the chip:  python tools/bench_http.py
+Env: PTTS_HTTP_SLOTS (64), PTTS_HTTP_CLIENTS (24), PTTS_HTTP_REQS (240),
+     PTTS_HTTP_FPS (8).
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _stream_once(addr, payload) -> tuple:
+    """POST /tts-stream; return (first_byte_s, total_s, n_bytes)."""
+    conn = http.client.HTTPConnection(*addr, timeout=300)
+    t0 = time.perf_counter()
+    conn.request("POST", "/tts-stream", json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    if resp.status != 200:
+        resp.read()
+        conn.close()
+        return (-1.0, -1.0, resp.status)
+    first = resp.read(2)  # chunked decode: blocks until the first PCM chunk
+    t1 = time.perf_counter()
+    rest = resp.read()
+    t2 = time.perf_counter()
+    conn.close()
+    return (t1 - t0, t2 - t0, len(first) + len(rest))
+
+
+def _wav_once(addr, payload) -> tuple:
+    conn = http.client.HTTPConnection(*addr, timeout=300)
+    t0 = time.perf_counter()
+    conn.request("POST", "/tts", json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return (time.perf_counter() - t0, resp.status, len(body))
+
+
+def run_http_bench(ctx=None, slots: int = None, clients: int = None,
+                   reqs: int = None, frames_per_step: int = None,
+                   verbose: bool = True) -> dict:
+    from ptts_tpu import api
+    from ptts_tpu.runtime import server as srv
+
+    slots = slots or int(os.environ.get("PTTS_HTTP_SLOTS", "64"))
+    clients = clients or int(os.environ.get("PTTS_HTTP_CLIENTS", "24"))
+    reqs = reqs or int(os.environ.get("PTTS_HTTP_REQS", "240"))
+    fps = frames_per_step or int(os.environ.get("PTTS_HTTP_FPS", "8"))
+
+    if ctx is None:
+        model_dir = os.environ.get("PTTS_BENCH_MODEL_DIR",
+                                   "/tmp/ptts_bench_model")
+        if not os.path.isfile(os.path.join(model_dir,
+                                           "tts_b6369a24.safetensors")):
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "make_synth_checkpoint.py"), model_dir],
+                check=True)
+        os.environ.setdefault("PTTS_DTYPE", "bf16")
+        ctx = api.Context(model_dir)
+
+    httpd = srv.serve(ctx, host="127.0.0.1", port=0, slots=slots,
+                      max_len=128, prefix_budget=64, max_num_steps=1,
+                      frames_per_step=fps)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    addr = httpd.server_address
+    rng = np.random.default_rng(0)
+    words = ["hello", "world", "how", "low", "can", "you", "go", "today"]
+
+    def payload():
+        return {"text": " ".join(rng.choice(words,
+                                            size=int(rng.integers(3, 9)))),
+                "num_frames": int(rng.integers(10, 51)), "num_steps": 1,
+                "seed": -1, "temp": 0.7, "eos_enabled": False}
+
+    out = {}
+    try:
+        # warmup: compile every serving program before the timed window
+        _stream_once(addr, payload())
+        _wav_once(addr, payload())
+
+        for mode, fn, fb_key in [
+            ("stream", _stream_once, "http_first_byte"),
+            ("wav", _wav_once, None),
+        ]:
+            lat_first, lat_total, statuses = [], [], []
+            frames_total = [0]
+            lock = threading.Lock()
+            n_left = [reqs]
+            t0 = time.perf_counter()
+
+            def worker():
+                while True:
+                    with lock:
+                        if n_left[0] <= 0:
+                            return
+                        n_left[0] -= 1
+                    p = payload()
+                    if mode == "stream":
+                        fb, tot, nb = _stream_once(addr, p)
+                        with lock:
+                            if fb >= 0:
+                                lat_first.append(fb * 1e3)
+                                lat_total.append(tot * 1e3)
+                                frames_total[0] += p["num_frames"]
+                            else:
+                                statuses.append(nb)
+                    else:
+                        tot, status, nb = _wav_once(addr, p)
+                        with lock:
+                            statuses.append(status)
+                            if status == 200:
+                                lat_total.append(tot * 1e3)
+                                frames_total[0] += p["num_frames"]
+
+            ts = [threading.Thread(target=worker, daemon=True)
+                  for _ in range(clients)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=600)
+            wall = time.perf_counter() - t0
+            n_ok = len(lat_total)
+            rps = n_ok / wall
+            streams = frames_total[0] / 12.5 / wall
+            if fb_key and lat_first:
+                out[f"{fb_key}_p50_ms"] = round(
+                    float(np.percentile(lat_first, 50)), 1)
+                out[f"{fb_key}_p95_ms"] = round(
+                    float(np.percentile(lat_first, 95)), 1)
+            out[f"http_{mode}_reqs_per_s"] = round(rps, 2)
+            out[f"http_{mode}_p95_ms"] = round(
+                float(np.percentile(lat_total, 95)) if lat_total else -1, 1)
+            out[f"http_{mode}_streams"] = round(streams, 2)
+            if verbose:
+                extra = (f" first-byte p50 {out.get('http_first_byte_p50_ms')}"
+                         f" p95 {out.get('http_first_byte_p95_ms')} ms"
+                         if fb_key and lat_first else "")
+                bad = [s for s in statuses if s != 200]
+                print(f"[http:{mode}] {n_ok}/{reqs} ok ({clients} clients) "
+                      f"{rps:.1f} req/s, {streams:.1f} concurrent streams, "
+                      f"p95 {out[f'http_{mode}_p95_ms']} ms{extra}"
+                      + (f", non-200: {bad[:5]}" if bad else ""),
+                      file=sys.stderr)
+    finally:
+        httpd.shutdown()
+        httpd.tts_service.close()
+    return out
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench as _b
+
+    _b._enable_compile_cache()
+    print(json.dumps(run_http_bench()))

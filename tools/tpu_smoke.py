@@ -20,6 +20,10 @@ Gates (full-size random weights, bf16 unless noted):
      max/mean thresholds -- see rel_stats for the two-regime calibration)
   6. StreamingSession chunked PCM == offline decode of the same latents
      (same dual thresholds)
+  7. STRICT f32 fixed-seed serving gates: small-B batcher + streaming vs
+     offline under matmul_precision('highest') gated at 1e-3 max-rel
+     (measured 3.06e-5 on chip) -- catches routing/ring bugs the bf16
+     statistical gates could absorb
 
 Prints one JSON line {"gates": {...}, "ok": bool}. Exit 0 iff all pass.
 Runs in ~3-6 min cold through the tunnel (compile dominated).
@@ -255,6 +259,97 @@ def main() -> int:
     gates["stream_vs_offline_rel"] = s_max
     gates["stream_vs_offline_mean"] = s_mean
 
+    # 7. STRICT f32 fixed-seed serving gates (round-4 VERDICT item 5): the
+    # bf16 statistical gates above tolerate chaotic-AR drift that could in
+    # principle absorb a real routing/ring bug; a small f32 run bounds the
+    # same comparison ~100x tighter. f32 cross-program drift on this model
+    # measured 2-3e-4 on CPU (tests/test_batching.py calibration) -- the
+    # gate sits a decade above that and ~100x below the misrouting regime.
+    # matmul_precision("highest"): TPU f32 matmuls otherwise run bf16
+    # passes (measured 0.07 max-rel -- bf16-grade drift defeating the
+    # point of an f32 gate).
+    prec = jax.default_matmul_precision("highest")
+    prec.__enter__()
+    fw32 = flowlm.to_device(flowlm.random_weights(cfg, seed=0),
+                            jnp.float32, cfg)
+    mw32 = mimi.to_device(mimi.random_weights(mcfg, seed=1),
+                          jnp.float32, mcfg)
+    eng32 = types.SimpleNamespace(flowlm_cfg=cfg, mimi_cfg=mcfg,
+                                  dtype=jnp.float32, fw=fw32, mw=mw32,
+                                  flags=KernelFlags())
+    N32, f32frames = 3, [6, 8, 10]
+    noise32 = [frame_noise(300 + i, f, cfg.latent_dim, temp=0.7)
+               for i, f in enumerate(f32frames)]
+    b32 = ContinuousBatcher(eng32, slots=2, max_len=128, admit_chunk=2,
+                            prefix_budget=T0, max_num_steps=1,
+                            frames_per_step=2)
+    v32 = b32.register_voice("smoke", cond)
+    rids32 = [
+        b32.enqueue(Request(rid=b32._next_rid + i, prefix=None,
+                            noise=noise32[i], max_frames=f32frames[i],
+                            eos_after=0, num_steps=1,
+                            eos_threshold=np.float32(1e30), eos_min_frames=1,
+                            ids=req_ids[i], voice_idx=v32))
+        for i in range(N32)
+    ]
+    b32._next_rid += N32
+    res32 = b32.drain()
+    fbp = 64
+    pad32 = np.zeros((N32, Tp, cfg.d_model), np.float32)
+    len32 = np.zeros(N32, np.int32)
+    for i in range(N32):
+        pad32[i, : len(prefixes[i])] = prefixes[i]
+        len32[i] = len(prefixes[i])
+    nz32 = np.zeros((N32, fbp, cfg.latent_dim), np.float32)
+    for i, nrows in enumerate(noise32):
+        nz32[i, : len(nrows)] = nrows
+    c32, x32 = flowlm.prefill_init(
+        fw32, jnp.asarray(pad32, jnp.float32), jnp.asarray(len32), cfg,
+        Tp + fbp, "pallas")
+    r32 = flowlm.generate_latents_while(
+        fw32, c32, x32, jnp.asarray(nz32, jnp.float32), cfg, max_frames=fbp,
+        num_steps=1, eos_threshold=1e30, eos_min_frames=1, eos_after=0,
+        max_frames_per_stream=jnp.asarray(f32frames, jnp.int32))
+    pcm32 = np.asarray(
+        mimi.decode(mw32, flowlm.scale_latents(fw32, r32.latents), mcfg),
+        np.float32)
+    w32 = 0.0
+    for i, rid in enumerate(rids32):
+        want = wav.quantize_i16(
+            pcm32[i][: f32frames[i] * mcfg.frame_samples]
+        ).astype(np.float32) / 32767.0
+        m, _ = rel_stats(res32[rid].pcm_i16.astype(np.float32) / 32767.0,
+                         want)
+        w32 = max(w32, m)
+    gates["f32_batcher_vs_offline_rel"] = w32
+
+    p32 = api.Params(num_frames=6, num_steps=1, seed=301, temp=0.7,
+                     eos_enabled=False)
+    sess32 = StreamingSession(eng32, prefixes[:2], 6, p32,
+                              np.zeros(2, np.int32))
+    a32 = np.concatenate([np.asarray(c.pcm_i16) for c in sess32],
+                         axis=-1).astype(np.float32) / 32767.0
+    nzs = np.stack([frame_noise(p32.seed + i, 6, cfg.latent_dim, temp=0.7)
+                    for i in range(2)])
+    pads = np.zeros((2, fbp, cfg.latent_dim), np.float32)
+    pads[:, :6] = nzs
+    cs, xs = flowlm.prefill_init(
+        fw32, jnp.asarray(pad32[:2], jnp.float32), jnp.asarray(len32[:2]),
+        cfg, Tp + fbp, "pallas")
+    rs = flowlm.generate_latents_while(
+        fw32, cs, xs, jnp.asarray(pads, jnp.float32), cfg, max_frames=fbp,
+        num_steps=1, eos_threshold=1e30, eos_min_frames=1, eos_after=0,
+        max_frames_per_stream=jnp.full((2,), 6, jnp.int32))
+    ps = np.asarray(mimi.decode(
+        mw32, flowlm.scale_latents(fw32, rs.latents[:, :6]), mcfg),
+        np.float32)
+    sm, _ = rel_stats(
+        a32[:, : 6 * mcfg.frame_samples],
+        wav.quantize_i16(ps[:, : 6 * mcfg.frame_samples])
+        .astype(np.float32) / 32767.0)
+    gates["f32_stream_vs_offline_rel"] = sm
+    prec.__exit__(None, None, None)
+
     # serving gates use the two-regime thresholds from rel_stats.__doc__:
     # bf16 drift (different program structures, chaotic random-weight AR)
     # measured max ~0.09-0.11 / mean ~1e-2; structural misrouting measured
@@ -268,7 +363,11 @@ def main() -> int:
           and gates["batcher_vs_offline_rel"] < 0.35
           and gates["batcher_vs_offline_mean"] < 0.05
           and gates["stream_vs_offline_rel"] < 0.35
-          and gates["stream_vs_offline_mean"] < 0.05)
+          and gates["stream_vs_offline_mean"] < 0.05
+          # measured on chip: 3.06e-5 max-rel for both (round 5); the gate
+          # sits 30x above that and ~500x below the misrouting regime
+          and gates["f32_batcher_vs_offline_rel"] < 1e-3
+          and gates["f32_stream_vs_offline_rel"] < 1e-3)
     print(json.dumps({"ok": bool(ok), "gates": gates}))
     return 0 if ok else 1
 
