@@ -597,6 +597,16 @@ def main() -> int:
         result["detail"]["batcher_first_chunk_p50_ms"] = round(p50_b, 1)
         result["detail"]["batcher_finished"] = fin_b
         result["detail"]["batcher_frames_per_step"] = bfps
+        # round-5 tunnel operating point: pipelined dispatch (PCM copy
+        # overlaps the next window's compute) + speculative admission --
+        # measured strictly dominant over the serial default above
+        # (+25% sustained AND ~5x lower first-chunk p50; PERF.md round 5)
+        streams_ps, p50_ps, _, _ = run_batcher_bench(
+            bslots, dtype, breqs, frames_per_step=bfps, pipeline=True,
+            spec_admit=True, label="pipelined+spec")
+        result["detail"]["sustained_batcher_streams_pipelined_spec"] = round(
+            streams_ps, 2)
+        result["detail"]["batcher_pipelined_spec_p50_ms"] = round(p50_ps, 1)
         # low-latency operating point: K=4 trades ~15% sustained throughput
         # for ~2x lower admission->first-chunk latency
         streams_l, p50_l, _, _ = run_batcher_bench(
