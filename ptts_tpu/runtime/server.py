@@ -359,7 +359,21 @@ def make_handler(service: TTSService):
             if self.path == "/healthz":
                 self._send(200, b"ok", "text/plain")
             elif self.path == "/stats":
-                body = json.dumps(service.ctx.engine.stats()).encode()
+                b = service.batcher
+                stats = dict(service.ctx.engine.stats())
+                stats["serving"] = {
+                    "slots": b.slots,
+                    "live_slots": sum(1 for r in b.slot_req if r is not None),
+                    "queue_depth": len(b.queue),
+                    "max_queue": b.max_queue,
+                    "spec_inflight": b._spec_inflight,
+                    "finish_per_step_ema": round(b._finish_ema, 3),
+                    "steps": b.n_steps,
+                    "phase_ms_per_step": {
+                        k: round(v / max(b.n_steps, 1) * 1e3, 2)
+                        for k, v in b.phase_s.items()},
+                }
+                body = json.dumps(stats).encode()
                 self._send(200, body, "application/json")
             else:
                 self._send(404, b"not found", "text/plain")

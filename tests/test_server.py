@@ -57,6 +57,11 @@ def test_healthz_and_stats(httpd):
     conn.request("GET", "/stats")
     stats = json.loads(conn.getresponse().read())
     assert isinstance(stats, dict)
+    # serving-pool observability block (round 5)
+    srv_stats = stats["serving"]
+    assert srv_stats["slots"] == 2
+    assert srv_stats["queue_depth"] >= 0
+    assert "phase_ms_per_step" in srv_stats
     conn.close()
 
 
