@@ -273,7 +273,7 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                       admit_chunk: int = 32, pipeline: bool = False,
                       max_len: int = 128, label: str = "",
                       split_admit=None, spec_admit: bool = False,
-                      stats_out: dict = None):
+                      pack_flags=None, stats_out: dict = None):
     """Sustained continuous-batching throughput on the chip.
 
     Drives the production ContinuousBatcher (admission -> fused
@@ -313,7 +313,8 @@ def run_batcher_bench(slots: int, dtype_name: str, target_finished: int,
                           prefix_budget=T0, max_num_steps=1,
                           frames_per_step=frames_per_step,
                           collect_pcm=collect_pcm, pipeline=pipeline,
-                          split_admit=split_admit, spec_admit=spec_admit)
+                          split_admit=split_admit, spec_admit=spec_admit,
+                          pack_flags=pack_flags)
     rng = np.random.default_rng(0)
     # ids admission path (the production prepare() route): one voice cond
     # cached on device, each request ships token ids only -- a host-built

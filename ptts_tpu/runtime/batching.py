@@ -443,7 +443,8 @@ class ContinuousBatcher:
                  device_noise: bool = True,
                  split_admit: Optional[bool] = None,
                  max_queue: int = 0,
-                 spec_admit: bool = False):
+                 spec_admit: bool = False,
+                 pack_flags: Optional[bool] = None):
         # max_queue bounds the admission queue (0 = unbounded): enqueue()
         # raises QueueFull past the bound so a submit flood turns into
         # client backpressure (HTTP 429) instead of unbounded host memory
@@ -478,6 +479,15 @@ class ContinuousBatcher:
         # of this environment's ~32 MB/s tunnel RPC. Results then carry
         # frame counts with empty pcm_i16.
         self.collect_pcm = collect_pcm
+        # pack_flags (default: on whenever PCM is collected): the step
+        # program appends the done/was_done flags as 2 int16 columns to the
+        # PCM buffer, so ONE d2h copy carries chunks AND liveness -- the two
+        # tiny flag RPCs otherwise serialize with the bulk PCM stream
+        # through a remote tunnel (PERF.md round-5 transport fence measured
+        # them as the last ~20% of the link). Device-bound pools keep the
+        # flags-only readback (there is no PCM copy to ride).
+        self.pack_flags = (bool(collect_pcm) if pack_flags is None
+                           else bool(pack_flags and collect_pcm))
         # device_noise: seed=-1 requests (the reference's non-reproducible
         # default) draw their noise tables ON DEVICE at admission; explicit
         # seeds always take the host xorshift64* parity path so fixed-seed
@@ -1192,6 +1202,7 @@ class ContinuousBatcher:
                 eos_threshold, eos_min_frames,
                 eos_after, max_frames,
                 num_steps, flags=engine.flags, emit_i16=True,
+                pack_flags=self.pack_flags,
             )
             self.frame_idx = self.frame_idx + 1
             wd = was_done_dev  # [B]: chunk is live iff not done pre-step
@@ -1206,6 +1217,7 @@ class ContinuousBatcher:
                     eos_threshold, eos_min_frames,
                     eos_after, max_frames,
                     num_steps, k=k, flags=engine.flags, emit_i16=True,
+                    pack_flags=self.pack_flags,
                 )
             )  # pcm [k, B, S]; wd [k, B] per-frame pre-step done
         # no post-dispatch fence: like the admission fence (see _admit), the
@@ -1221,8 +1233,11 @@ class ContinuousBatcher:
             # the tunnel -- PERF.md round 4)
             if self.collect_pcm:
                 pcm.copy_to_host_async()
-            self.done.copy_to_host_async()
-            wd.copy_to_host_async()
+            if not self.pack_flags:
+                # packed mode: the flags ride the PCM buffer -- no separate
+                # flag copies to start (or to serialize with the PCM stream)
+                self.done.copy_to_host_async()
+                wd.copy_to_host_async()
         except Exception:
             pass
         self._pending.append((pcm, self.done, wd, self._seq))
@@ -1287,22 +1302,36 @@ class ContinuousBatcher:
             self._resolve_receipt(self._receipts.pop(0))
         t = time.perf_counter
         t0 = t()
-        done_np = np.asarray(done_dev)  # tiny: isolates device-queue wait...
-        t1 = t()
-        if self.collect_pcm:
-            pcm_np = np.asarray(pcm_dev)  # ...from the bulk PCM transfer
-        else:  # device-bound mode: PCM never leaves the chip
-            pcm_np = np.zeros((pcm_dev.shape[0] if pcm_dev.ndim == 3 else 1,
-                               done_np.shape[0], 0), np.int16)
-        t2 = t()
-        self.phase_s["c_wait"] = self.phase_s.get("c_wait", 0.0) + (t1 - t0)
-        self.phase_s["c_pcm"] = self.phase_s.get("c_pcm", 0.0) + (t2 - t1)
-        was_done = np.asarray(was_done_dev)  # [B] or [k, B]
-        self.phase_s["c_wd"] = self.phase_s.get("c_wd", 0.0) + (t() - t2)
-        if pcm_np.ndim == 2:  # single-frame dispatch
-            pcm_np = pcm_np[None]
-        if was_done.ndim == 1:
-            was_done = was_done[None]
+        if self.pack_flags:
+            # one transfer carries PCM + flags; the whole wait is the PCM
+            # copy (c_wait/c_wd collapse to ~0 by construction)
+            raw = np.asarray(pcm_dev)
+            t1 = t2 = t()
+            if raw.ndim == 2:
+                raw = raw[None]
+            pcm_np = raw[:, :, :-2]
+            was_done = raw[:, :, -2] != 0                  # [k, B]
+            done_np = raw[-1, :, -1] != 0                  # [B] post-step
+            self.phase_s["c_pcm"] = self.phase_s.get("c_pcm", 0.0) + (t1 - t0)
+        else:
+            done_np = np.asarray(done_dev)  # tiny: isolates queue wait...
+            t1 = t()
+            if self.collect_pcm:
+                pcm_np = np.asarray(pcm_dev)  # ...from the bulk PCM transfer
+            else:  # device-bound mode: PCM never leaves the chip
+                pcm_np = np.zeros(
+                    (pcm_dev.shape[0] if pcm_dev.ndim == 3 else 1,
+                     done_np.shape[0], 0), np.int16)
+            t2 = t()
+            self.phase_s["c_wait"] = (self.phase_s.get("c_wait", 0.0)
+                                      + (t1 - t0))
+            self.phase_s["c_pcm"] = self.phase_s.get("c_pcm", 0.0) + (t2 - t1)
+            was_done = np.asarray(was_done_dev)  # [B] or [k, B]
+            self.phase_s["c_wd"] = self.phase_s.get("c_wd", 0.0) + (t() - t2)
+            if pcm_np.ndim == 2:  # single-frame dispatch
+                pcm_np = pcm_np[None]
+            if was_done.ndim == 1:
+                was_done = was_done[None]
         # slots admitted AFTER this frame was dispatched keep their mirror
         # (the frame predates them); the trash row is never live on the host
         fresh = self._admit_seq > seq

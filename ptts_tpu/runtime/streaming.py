@@ -94,7 +94,8 @@ def quantize_i16_device(pcm: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mcfg", "eos_enabled", "flags", "emit_i16"),
+    static_argnames=("cfg", "mcfg", "eos_enabled", "flags", "emit_i16",
+                     "pack_flags"),
     donate_argnames=("cache", "mimi_state"),
 )
 def fused_stream_step(
@@ -118,6 +119,7 @@ def fused_stream_step(
     num_steps: jnp.ndarray | None = None,
     flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
     emit_i16: bool = False,
+    pack_flags: bool = False,
 ):
     """One serving frame in a single device program: FlowLM frame step +
     streaming-Mimi chunk decode. One dispatch per 80 ms frame (dispatch
@@ -127,7 +129,14 @@ def fused_stream_step(
     (device-resident, uploaded once at admission/start): the current frame's
     row is gathered ON DEVICE from ``frame_idx``, so the steady-state step
     takes no per-frame host uploads at all. ``emit_i16`` returns int16 PCM
-    (quantize_i16_device) -- 4x smaller readback."""
+    (quantize_i16_device) -- 4x smaller readback.
+
+    ``pack_flags`` (requires emit_i16) appends two int16 flag columns to the
+    PCM buffer -- [B, S]: was_done (pre-step done), [B, S+1]: post-step done
+    -- so ONE device->host copy carries PCM *and* the step's liveness flags.
+    Through a remote tunnel the two tiny flag RPCs otherwise serialize with
+    the bulk PCM stream (PERF.md round 5: c_wait ~190 ms/step at 256 slots,
+    the last ~20%% of the link)."""
     from ..models import mimi_stream
 
     if noise.ndim == 3:
@@ -136,6 +145,7 @@ def fused_stream_step(
         fi = jnp.clip(fi, 0, noise.shape[1] - 1)
         noise = jnp.take_along_axis(noise, fi[:, None, None], axis=1)[:, 0]
 
+    was_done = done  # pre-step liveness (chunk is live iff ~was_done)
     cache, x, scaled, eos, eos_step, done = flow_frame_step(
         fw, cache, x, noise, time_embs, frame_idx, eos_step, done,
         cfg, eos_enabled, eos_threshold, eos_min_frames, eos_after, max_frames,
@@ -146,12 +156,18 @@ def fused_stream_step(
     )
     if emit_i16:
         pcm = quantize_i16_device(pcm)
+    if pack_flags:
+        assert emit_i16, "pack_flags requires int16 PCM"
+        extra = jnp.stack([was_done.astype(jnp.int16),
+                           done.astype(jnp.int16)], axis=-1)   # [B, 2]
+        pcm = jnp.concatenate([pcm, extra], axis=-1)
     return cache, mimi_state, x, pcm, eos, eos_step, done
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mcfg", "eos_enabled", "k", "flags", "emit_i16"),
+    static_argnames=("cfg", "mcfg", "eos_enabled", "k", "flags", "emit_i16",
+                     "pack_flags"),
     donate_argnames=("cache", "mimi_state"),
 )
 def fused_stream_steps(
@@ -176,6 +192,7 @@ def fused_stream_steps(
     k: int,
     flags: "flowlm.KernelFlags" = flowlm.DEFAULT_FLAGS,
     emit_i16: bool = True,
+    pack_flags: bool = False,
 ):
     """K serving frames in ONE device program (lax.scan of the fused step).
 
@@ -225,6 +242,18 @@ def fused_stream_steps(
     pcm_k = pcm.reshape(B, k, -1).transpose(1, 0, 2)
     if emit_i16:
         pcm_k = quantize_i16_device(pcm_k)
+    if pack_flags:
+        # Append 2 int16 flag columns per frame so the bulk PCM copy carries
+        # the liveness flags too: [..., -2] = was_done[j] (pre-frame-j done),
+        # [..., -1] = post-step done broadcast over frames. Kills the two
+        # per-step flag RPCs that serialize with the PCM stream through a
+        # remote tunnel (PERF.md round 5 transport fence).
+        assert emit_i16, "pack_flags requires int16 PCM"
+        extra = jnp.stack(
+            [wd_k.astype(jnp.int16),
+             jnp.broadcast_to(done.astype(jnp.int16)[None, :], wd_k.shape)],
+            axis=-1)                                   # [k, B, 2]
+        pcm_k = jnp.concatenate([pcm_k, extra], axis=-1)
     return (cache, mimi_state, x, pcm_k, eos_k, eos_step, done, wd_k,
             frame_idx)
 

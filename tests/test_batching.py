@@ -109,6 +109,48 @@ def test_multi_frame_dispatch_matches_single(ctx):
         assert np.abs(a - c).max() <= 4, text  # jit-boundary fusion drift
 
 
+def test_pack_flags_matches_unpacked(ctx):
+    """pack_flags rides the done/was_done flags on the PCM buffer's last two
+    int16 columns (one d2h copy instead of three). Finish semantics (EOS,
+    frame counts, slot reuse) and PCM must match the unpacked readback
+    exactly: the float compute graph is identical, the flags are appended
+    AFTER int16 quantization."""
+    def p(frames, seed):
+        return api.Params(num_frames=frames, num_steps=1, seed=seed,
+                          temp=0.5, eos_enabled=True, eos_threshold=-1e9,
+                          eos_min_frames=2, eos_after=1)
+
+    specs = [("hello world", 7), ("how low", 4), ("hello hello", 6),
+             ("world world", 5)]
+
+    def run(pack):
+        b = ContinuousBatcher(ctx.engine, slots=2, max_len=96, admit_chunk=2,
+                              prefix_budget=32, frames_per_step=3,
+                              pipeline=True, pack_flags=pack)
+        assert b.pack_flags is pack
+        rids = [b.submit(t, params=p(f, 40 + i))
+                for i, (t, f) in enumerate(specs)]
+        return rids, b.drain()
+
+    rids_u, res_u = run(False)
+    rids_p, res_p = run(True)
+    assert rids_u == rids_p
+    for rid, (text, _) in zip(rids_u, specs):
+        # forced EOS at frame 2 (min_frames) + eos_after 1 -> 3 frames
+        assert res_p[rid].frames == res_u[rid].frames == 3, text
+        np.testing.assert_array_equal(res_u[rid].pcm_i16,
+                                      res_p[rid].pcm_i16, err_msg=text)
+
+
+def test_pack_flags_off_device_bound(ctx):
+    """Device-bound pools (collect_pcm=False) have no PCM copy for flags to
+    ride: pack_flags must resolve to False even when requested."""
+    b = ContinuousBatcher(ctx.engine, slots=1, max_len=48, admit_chunk=1,
+                          prefix_budget=32, collect_pcm=False,
+                          pack_flags=True)
+    assert b.pack_flags is False
+
+
 def test_blocked_decode_impl_rejected(ctx):
     """The opt-in 'blocked' decode attention reads [start, cursor) as a
     contiguous span -- wrong once the decode ring wraps, so the batcher

@@ -62,6 +62,7 @@ def _wav_once(addr, payload) -> tuple:
 
 def run_http_bench(ctx=None, slots: int = None, clients: int = None,
                    reqs: int = None, frames_per_step: int = None,
+                   pipeline: bool = None, spec_admit: bool = None,
                    verbose: bool = True) -> dict:
     from ptts_tpu import api
     from ptts_tpu.runtime import server as srv
@@ -70,6 +71,10 @@ def run_http_bench(ctx=None, slots: int = None, clients: int = None,
     clients = clients or int(os.environ.get("PTTS_HTTP_CLIENTS", "24"))
     reqs = reqs or int(os.environ.get("PTTS_HTTP_REQS", "240"))
     fps = frames_per_step or int(os.environ.get("PTTS_HTTP_FPS", "8"))
+    if pipeline is None:
+        pipeline = os.environ.get("PTTS_HTTP_PIPELINE", "0") == "1"
+    if spec_admit is None:
+        spec_admit = os.environ.get("PTTS_HTTP_SPEC", "0") == "1"
 
     if ctx is None:
         model_dir = os.environ.get("PTTS_BENCH_MODEL_DIR",
@@ -86,7 +91,8 @@ def run_http_bench(ctx=None, slots: int = None, clients: int = None,
 
     httpd = srv.serve(ctx, host="127.0.0.1", port=0, slots=slots,
                       max_len=128, prefix_budget=64, max_num_steps=1,
-                      frames_per_step=fps)
+                      frames_per_step=fps, pipeline=pipeline,
+                      spec_admit=spec_admit)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     addr = httpd.server_address
     rng = np.random.default_rng(0)
@@ -98,9 +104,19 @@ def run_http_bench(ctx=None, slots: int = None, clients: int = None,
                 "num_frames": int(rng.integers(10, 51)), "num_steps": 1,
                 "seed": -1, "temp": 0.7, "eos_enabled": False}
 
-    out = {}
+    out = {"http_cfg": (f"slots={slots},clients={clients},reqs={reqs},"
+                        f"fps={fps},pipe={int(pipeline)},"
+                        f"spec={int(spec_admit)}")}
     try:
-        # warmup: compile every serving program before the timed window
+        # warmup: compile every serving program before the timed window.
+        # In-process with a LONG deadline -- cold compiles through the
+        # tunnel can exceed the HTTP paths' 300 s server-side timeouts
+        # (which would now correctly CANCEL the warmup request).
+        httpd.tts_service.generate(
+            "warm up the serving programs",
+            params=api.Params(num_frames=9, num_steps=1, seed=0,
+                              eos_enabled=False),
+            timeout=1800)
         _stream_once(addr, payload())
         _wav_once(addr, payload())
 

@@ -74,7 +74,11 @@ def main() -> int:
         ("serial", dict()),
         ("pipelined", dict(pipeline=True)),
         ("serial+spec", dict(spec_admit=True)),
+        # pack_flags A/B: flags ride the PCM buffer (1 d2h copy/step) vs
+        # separate done/was_done RPCs that serialize with the PCM stream
         ("pipelined+spec", dict(pipeline=True, spec_admit=True)),
+        ("pipelined+spec-nopack", dict(pipeline=True, spec_admit=True,
+                                       pack_flags=False)),
     ]:
         stats = {}
         streams, p50, fin, wall = bench.run_batcher_bench(
