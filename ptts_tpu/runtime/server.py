@@ -89,14 +89,18 @@ class TTSService:
     def __init__(self, ctx: "api.Context", slots: int = 16,
                  max_len: int = 768, prefix_budget: int = 128,
                  max_num_steps: int = 8, frames_per_step: int = 1,
-                 pipeline: bool = False, split_admit=None,
+                 pipeline: bool = True, split_admit=None,
                  max_queue: Optional[int] = None,
                  spec_admit: bool = False):
         # frames_per_step > 1 amortizes dispatch/readback across K frames
         # (the sustained-throughput operating point, PERF.md); split_admit
         # (default: auto) keeps a fresh stream's first chunk off the bulk
-        # K-frame transfer; pipeline overlaps step N+1's dispatch under N's
-        # readback (wins device-bound, loses on PCM-readback tunnels).
+        # K-frame transfer; pipeline (default on) overlaps step N+1's device
+        # compute under step N's PCM readback -- strictly dominant in the
+        # round-5 transport fence (+11-25% sustained AND lower first-chunk
+        # p50 once spec/split admission decoupled fresh streams from the
+        # bulk transfer; the round-3 "loses on tunnels" result predated
+        # those and is obsolete, PERF.md round 5).
         # max_queue bounds admitted-but-unserved requests (default 4x slots;
         # 0 = unbounded): past it, submit raises QueueFull -> HTTP 429, so a
         # flood becomes client backpressure instead of unbounded host memory.
@@ -503,9 +507,12 @@ def main() -> int:
                     help="frames fused per device dispatch (K): >1 amortizes "
                          "dispatch/readback for sustained throughput; fresh "
                          "streams' first chunks stay fast via split-admit")
-    ap.add_argument("--pipeline", action="store_true",
-                    help="overlap step N+1's dispatch under step N's "
-                         "readback (wins when PCM stays device-local)")
+    ap.add_argument("--pipeline", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="overlap step N+1's device compute under step N's "
+                         "PCM readback (default on: strictly dominant in "
+                         "the round-5 transport fence; --no-pipeline for "
+                         "the serial loop)")
     ap.add_argument("--max-queue", type=int, default=None,
                     help="bound on queued-but-unserved requests (default "
                          "4x slots, 0=unbounded); past it /tts and "
