@@ -662,7 +662,12 @@ def main() -> int:
                 os.path.dirname(os.path.abspath(__file__)), "tools"))
             from bench_http import run_http_bench
 
-            result["detail"].update(run_http_bench())
+            # pipelined + spec-admit: the serving config the round-5 fences
+            # measured strictly dominant for sustained traffic (HTTP A/B:
+            # 36.7 -> 54.1 stream req/s, total p95 937 -> 593 ms, first-byte
+            # p50 174.8 vs 188.5 ms -- both under the 200 ms bar)
+            result["detail"].update(run_http_bench(pipeline=True,
+                                                   spec_admit=True))
         except Exception as e:
             print(f"[bench] http bench failed: {e}", file=sys.stderr)
 
