@@ -170,6 +170,8 @@ def run_http_bench(ctx=None, slots: int = None, clients: int = None,
                 out[f"{fb_key}_p95_ms"] = round(
                     float(np.percentile(lat_first, 95)), 1)
             out[f"http_{mode}_reqs_per_s"] = round(rps, 2)
+            if mode == "stream":
+                out["http_reqs_per_s"] = round(rps, 2)  # headline alias
             out[f"http_{mode}_p95_ms"] = round(
                 float(np.percentile(lat_total, 95)) if lat_total else -1, 1)
             out[f"http_{mode}_streams"] = round(streams, 2)
