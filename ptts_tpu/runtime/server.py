@@ -491,7 +491,18 @@ def serve(ctx: "api.Context", host: str = "127.0.0.1", port: int = 8080,
           **service_kw) -> ThreadingHTTPServer:
     """Start the HTTP server (returns it; call .serve_forever())."""
     service = TTSService(ctx, **service_kw)
-    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+
+    class _Server(ThreadingHTTPServer):
+        # handler threads block on the batcher for whole utterances while
+        # clients open a fresh TCP connection per request; the stdlib
+        # default listen backlog of 5 overflows under concurrent load and
+        # the kernel RSTs the excess SYNs (measured: 11/240 resets at 24
+        # closed-loop clients). The admission queue is the real
+        # backpressure bound (HTTP 429) -- the accept queue must not be.
+        request_queue_size = 128
+        daemon_threads = True
+
+    httpd = _Server((host, port), make_handler(service))
     httpd.tts_service = service
     return httpd
 

@@ -215,6 +215,15 @@ def test_tts_stream_incremental_pcm(tmp_path):
         httpd.tts_service.close()
 
 
+def test_accept_backlog_raised(httpd):
+    """Handler threads block on the batcher for whole utterances, so the
+    listen backlog must exceed the stdlib default of 5 -- under 24
+    closed-loop clients the kernel RSTs excess SYNs (measured 11/240
+    resets in the round-5 HTTP bench)."""
+    assert httpd.request_queue_size >= 64
+    assert httpd.daemon_threads
+
+
 def test_bad_request(httpd):
     status, _, body = _post(httpd, {"no_text": True})
     assert status == 400

@@ -137,22 +137,29 @@ def run_http_bench(ctx=None, slots: int = None, clients: int = None,
                             return
                         n_left[0] -= 1
                     p = payload()
-                    if mode == "stream":
-                        fb, tot, nb = _stream_once(addr, p)
+                    try:
+                        if mode == "stream":
+                            fb, tot, nb = _stream_once(addr, p)
+                            with lock:
+                                if fb >= 0:
+                                    lat_first.append(fb * 1e3)
+                                    lat_total.append(tot * 1e3)
+                                    frames_total[0] += p["num_frames"]
+                                else:
+                                    statuses.append(nb)
+                        else:
+                            tot, status, nb = _wav_once(addr, p)
+                            with lock:
+                                statuses.append(status)
+                                if status == 200:
+                                    lat_total.append(tot * 1e3)
+                                    frames_total[0] += p["num_frames"]
+                    except OSError as e:
+                        # transport-level failure (e.g. RST): count it and
+                        # keep the client alive -- a dead worker thread
+                        # silently shrinks the measured load
                         with lock:
-                            if fb >= 0:
-                                lat_first.append(fb * 1e3)
-                                lat_total.append(tot * 1e3)
-                                frames_total[0] += p["num_frames"]
-                            else:
-                                statuses.append(nb)
-                    else:
-                        tot, status, nb = _wav_once(addr, p)
-                        with lock:
-                            statuses.append(status)
-                            if status == 200:
-                                lat_total.append(tot * 1e3)
-                                frames_total[0] += p["num_frames"]
+                            statuses.append(f"conn:{type(e).__name__}")
 
             ts = [threading.Thread(target=worker, daemon=True)
                   for _ in range(clients)]
