@@ -55,6 +55,17 @@ _EMPTY_I16 = np.zeros(0, np.int16)
 _EMPTY_I16.setflags(write=False)
 
 
+@jax.jit
+def _combine_flags(wd, done):
+    """[k,B]|[B] was_done + [B] done -> one [k+1,B] bool buffer, so the
+    device-bound loop reads ONE tiny flag array per step instead of two
+    (each np.asarray is a full RPC roundtrip through a remote tunnel --
+    the measured reason K=4 lost ~12% to K=8 device-bound, PERF.md)."""
+    if wd.ndim == 1:
+        wd = wd[None]
+    return jnp.concatenate([wd, done[None]], axis=0)
+
+
 class _QueueView:
     """Deque-like façade over the per-host admission queues.
 
@@ -1225,22 +1236,30 @@ class ContinuousBatcher:
         # modes once admission got cheap (A/B on chip: device-bound 1066 ->
         # 1092, tunnel 374 -> 388 streams/chip) -- _collect's done readback
         # right after is the loop's real wait point anyway.
-        try:
-            # start every readback the collect will need as early as
-            # possible: the done/was_done flag copies otherwise pay a full
-            # blocking RPC roundtrip EACH at collect time (the was_done
-            # fetch alone measured 26.7 ms/step at 384 slots x K=8 through
-            # the tunnel -- PERF.md round 4)
-            if self.collect_pcm:
+        # start every readback the collect will need as early as possible:
+        # each blocking np.asarray at collect time is a full RPC roundtrip
+        # through the tunnel (PERF.md rounds 4-5)
+        if not self.collect_pcm:
+            # device-bound: combine was_done+done into ONE tiny [k+1, B]
+            # readback (two RPCs -> one; PCM never leaves the chip)
+            flags = _combine_flags(wd, self.done)
+            try:
+                flags.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending.append((None, flags, None, self._seq))
+        else:
+            try:
                 pcm.copy_to_host_async()
-            if not self.pack_flags:
-                # packed mode: the flags ride the PCM buffer -- no separate
-                # flag copies to start (or to serialize with the PCM stream)
-                self.done.copy_to_host_async()
-                wd.copy_to_host_async()
-        except Exception:
-            pass
-        self._pending.append((pcm, self.done, wd, self._seq))
+                if not self.pack_flags:
+                    # packed mode: the flags ride the PCM buffer -- no
+                    # separate flag copies to start (or to serialize with
+                    # the PCM stream)
+                    self.done.copy_to_host_async()
+                    wd.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending.append((pcm, self.done, wd, self._seq))
         self._seq += 1
 
     def _dispatch_step(self, fresh: int) -> None:
@@ -1302,27 +1321,33 @@ class ContinuousBatcher:
             self._resolve_receipt(self._receipts.pop(0))
         t = time.perf_counter
         t0 = t()
-        if self.pack_flags:
+        if not self.collect_pcm:
+            # device-bound: ONE combined [k+1, B] flag readback (PCM never
+            # leaves the chip); done_dev holds the combined buffer
+            fl = np.asarray(done_dev)
+            self.phase_s["c_wait"] = (self.phase_s.get("c_wait", 0.0)
+                                      + (t() - t0))
+            was_done = fl[:-1]                             # [k, B]
+            done_np = fl[-1]                               # [B] post-step
+            pcm_np = np.zeros((was_done.shape[0], done_np.shape[0], 0),
+                              np.int16)
+        elif self.pack_flags:
             # one transfer carries PCM + flags; the whole wait is the PCM
             # copy (c_wait/c_wd collapse to ~0 by construction)
             raw = np.asarray(pcm_dev)
-            t1 = t2 = t()
+            t_pcm = t()
+            self.phase_s["c_pcm"] = (self.phase_s.get("c_pcm", 0.0)
+                                     + (t_pcm - t0))
             if raw.ndim == 2:
                 raw = raw[None]
             pcm_np = raw[:, :, :-2]
             was_done = raw[:, :, -2] != 0                  # [k, B]
             done_np = raw[-1, :, -1] != 0                  # [B] post-step
-            self.phase_s["c_pcm"] = self.phase_s.get("c_pcm", 0.0) + (t1 - t0)
         else:
             done_np = np.asarray(done_dev)  # tiny: isolates queue wait...
             t1 = t()
-            if self.collect_pcm:
-                pcm_np = np.asarray(pcm_dev)  # ...from the bulk PCM transfer
-            else:  # device-bound mode: PCM never leaves the chip
-                pcm_np = np.zeros(
-                    (pcm_dev.shape[0] if pcm_dev.ndim == 3 else 1,
-                     done_np.shape[0], 0), np.int16)
-            t2 = t()
+            pcm_np = np.asarray(pcm_dev)  # ...from the bulk PCM transfer
+            t2 = t_pcm = t()
             self.phase_s["c_wait"] = (self.phase_s.get("c_wait", 0.0)
                                       + (t1 - t0))
             self.phase_s["c_pcm"] = self.phase_s.get("c_pcm", 0.0) + (t2 - t1)
@@ -1339,7 +1364,8 @@ class ContinuousBatcher:
         self._done_np[self._dead_rows] = True
         if not self.collect_pcm:
             return self._collect_counts(done_np, was_done, fresh)
-        t_pcm = t2  # chunks became host-readable when the PCM copy landed
+        # t_pcm (set in the branch above): chunks became host-readable when
+        # the PCM copy landed
         n_pub = 0
         for slot in self.slot_rows:
             req = self.slot_req[slot]
