@@ -422,6 +422,35 @@ def test_sharded_batcher_matches_unsharded(ctx):
         assert np.abs(a - b).max() <= 1, text
 
 
+def test_sharded_device_bound_combined_flags(ctx):
+    """Device-bound mode over a sharded mesh: the combined [k+1, B] flag
+    buffer (one readback per step) must survive GSPMD -- frame counts
+    equal to the unsharded device-bound run."""
+    import jax
+
+    from ptts_tpu.parallel import mesh as pmesh
+
+    hmesh = pmesh.make_multihost_mesh(num_hosts=2, devices=jax.devices()[:8])
+    p = api.Params(num_frames=5, num_steps=1, seed=21, temp=0.5,
+                   eos_enabled=True, eos_threshold=-1e9,
+                   eos_min_frames=2, eos_after=1)
+    texts = ["hello world", "how low", "who who", "more text here"]
+
+    def run(mesh):
+        b = ContinuousBatcher(ctx.engine, slots=4, max_len=64, admit_chunk=2,
+                              prefix_budget=32, frames_per_step=3,
+                              pipeline=True, collect_pcm=False, mesh=mesh)
+        rids = [b.submit(t, params=p) for t in texts]
+        return rids, b.drain()
+
+    rids_u, res_u = run(None)
+    rids_s, res_s = run(hmesh)
+    assert rids_u == rids_s
+    for rid, text in zip(rids_u, texts):
+        assert res_s[rid].frames == res_u[rid].frames == 3, text
+        assert res_s[rid].pcm_i16.size == 0
+
+
 def test_sharded_batcher_host_pinning(ctx):
     """submit(host=h) admits into host h's own slot rows."""
     import jax
