@@ -484,7 +484,7 @@ def run_batcher_bench_prepared(slots: int, target_finished: int,
         subprocess.run([sys.executable,
                         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                      "tools", "make_synth_checkpoint.py"),
-                        model_dir], check=True)
+                        model_dir], check=True, stdout=sys.stderr)
     os.environ.setdefault("PTTS_DTYPE", "bf16")
     ctx = api.Context(model_dir)
     eng = ctx.engine  # full engine: mmap load + packed upload

@@ -85,7 +85,7 @@ def run_http_bench(ctx=None, slots: int = None, clients: int = None,
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "make_synth_checkpoint.py"), model_dir],
-                check=True)
+                check=True, stdout=sys.stderr)
         os.environ.setdefault("PTTS_DTYPE", "bf16")
         ctx = api.Context(model_dir)
 

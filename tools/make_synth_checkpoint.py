@@ -48,8 +48,11 @@ def main() -> int:
         voice_frames=args.voice_frames, seed=args.seed,
     )
     size = os.path.getsize(os.path.join(path, "tts_b6369a24.safetensors"))
+    # stderr: callers (bench.py, bench_http.py) reserve stdout for their
+    # single JSON result line and run this as a subprocess with inherited
+    # stdout -- a stray line here would corrupt the driver's BENCH parse
     print(f"wrote synthetic full-size model dir: {path} "
-          f"({size / 1e6:.1f} MB checkpoint)")
+          f"({size / 1e6:.1f} MB checkpoint)", file=sys.stderr)
     return 0
 
 
