@@ -60,6 +60,43 @@ def _wav_once(addr, payload) -> tuple:
     return (time.perf_counter() - t0, resp.status, len(body))
 
 
+def _default_ctx():
+    from ptts_tpu import api
+
+    model_dir = os.environ.get("PTTS_BENCH_MODEL_DIR",
+                               "/tmp/ptts_bench_model")
+    if not os.path.isfile(os.path.join(model_dir,
+                                       "tts_b6369a24.safetensors")):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "make_synth_checkpoint.py"), model_dir],
+            check=True, stdout=sys.stderr)
+    os.environ.setdefault("PTTS_DTYPE", "bf16")
+    return api.Context(model_dir)
+
+
+def run_http_bench_dual(ctx=None) -> dict:
+    """Both measured HTTP operating points over ONE engine (one weight
+    upload): K=8 pipelined+spec (sustained-throughput point; unprefixed
+    http_* keys, comparable across rounds) and K=4 pipelined+spec
+    (latency point, http_lowlat_* keys). On-chip A/B (round 5, same hour,
+    24 clients / 64 slots): K=8 52.7 stream req/s first-byte p50 199.6 /
+    p95 248.4 ms; K=4 49.6 req/s (-5.8%) p50 134.3 / p95 172.9 ms -- the
+    K=4 window halves the in-flight dispatch wait a fresh request sits
+    out, putting the HTTP front door under the 150 ms north-star p50
+    through this remote tunnel."""
+    if ctx is None:
+        ctx = _default_ctx()
+    out = run_http_bench(ctx, frames_per_step=8, pipeline=True,
+                         spec_admit=True)
+    low = run_http_bench(ctx, frames_per_step=4, pipeline=True,
+                         spec_admit=True)
+    out.update({k.replace("http_", "http_lowlat_", 1): v
+                for k, v in low.items()})
+    return out
+
+
 def run_http_bench(ctx=None, slots: int = None, clients: int = None,
                    reqs: int = None, frames_per_step: int = None,
                    pipeline: bool = None, spec_admit: bool = None,
@@ -77,17 +114,7 @@ def run_http_bench(ctx=None, slots: int = None, clients: int = None,
         spec_admit = os.environ.get("PTTS_HTTP_SPEC", "0") == "1"
 
     if ctx is None:
-        model_dir = os.environ.get("PTTS_BENCH_MODEL_DIR",
-                                   "/tmp/ptts_bench_model")
-        if not os.path.isfile(os.path.join(model_dir,
-                                           "tts_b6369a24.safetensors")):
-            subprocess.run(
-                [sys.executable,
-                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "make_synth_checkpoint.py"), model_dir],
-                check=True, stdout=sys.stderr)
-        os.environ.setdefault("PTTS_DTYPE", "bf16")
-        ctx = api.Context(model_dir)
+        ctx = _default_ctx()
 
     httpd = srv.serve(ctx, host="127.0.0.1", port=0, slots=slots,
                       max_len=128, prefix_budget=64, max_num_steps=1,
